@@ -1,0 +1,47 @@
+"""Pipeline configuration.
+
+Mirrors the reference's user-extension surface (SURVEY.md §2.8):
+``Polygonizer`` config at reference src/polygonizer.rs:30-54 (``node_input``,
+``snap_grid_size`` default 1e-10, dead ``check_valid_rings``), SnapNoder
+``max_iter=10`` (src/noding/snap.rs:26-31), ``TiledPolygonizer::new(bbox,
+tile_size).with_buffer`` (src/tiling.rs:16-29), plus the Ray-side knobs the
+reference expresses as a rayon feature flag.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PipelineConfig:
+    # --- reference polygonizer config (src/polygonizer.rs:30-54) ---
+    node_input: bool = False
+    snap_grid_size: float = 1e-10
+    check_valid_rings: bool = True  # dead config in the reference too; kept for parity
+    max_noding_iters: int = 10      # src/noding/snap.rs:26
+
+    # --- tiling config (src/tiling.rs:16-29) ---
+    tile_size: float = 0.0          # <= 0 means "one tile" (untiled)
+    tile_buffer: float = 0.0
+    # Salting: a tile whose assigned linework count exceeds this is recursively
+    # quartered (one more Morton level) before the shuffle; 0 disables.
+    salt_threshold: int = 0
+    max_salt_depth: int = 4
+
+    # --- Ray execution knobs ---
+    batch_size: int | None = 4096
+    trace_concurrency: int | tuple[int, int] | None = None  # actor pool size for per-cell tracing
+    num_cpus_per_trace_actor: float = 1.0
+
+    # --- image pipeline ---
+    psnr_threshold_db: float = 40.0
+
+    # --- checkpointing ---
+    checkpoint_dir: str | None = None
+
+    def tiled(self) -> bool:
+        return self.tile_size > 0.0
+
+
+DEFAULT_CONFIG = PipelineConfig()

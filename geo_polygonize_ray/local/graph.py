@@ -1,0 +1,296 @@
+"""Per-partition noded planar graph as numpy Structure-of-Arrays.
+
+From-scratch reimplementation of the reference's arena graph
+(reference src/graph/planar_graph.rs:40-59): node coords are columnar
+(nodes_x / nodes_y), adjacency is CSR, half-edges are parallel arrays.  This
+object is *never* global in the Ray engine — one instance is built inside a
+``map_groups`` / actor call from one spatial cell's segment batch
+(SURVEY.md §1.3), which is exactly why segments are cell-partitioned.
+
+Semantics replicated exactly:
+  * bulk load with Z-order sort + exact-coord dedup  (planar_graph.rs:104-196)
+  * degenerate filter |dx|<1e-12 & |dy|<1e-12        (planar_graph.rs:211-213)
+  * CCW angular sort with quadrant + robust orient2d + collinear
+    nearest-first tie-break                          (utils/mod.rs:46-95)
+  * iterative degree-1 dangle peel                   (planar_graph.rs:426-472)
+  * next-CCW half-edge ring tracing                  (planar_graph.rs:475-561)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geo_polygonize_ray.geom.kernels import (
+    pseudo_angle_within_quadrant,
+    quadrant,
+    z_order_index,
+)
+from geo_polygonize_ray.geom.robust import CCW_ERRBOUND_A, orient2d_exact
+
+
+class PlanarGraph:
+    """Noded planar graph over one partition's segments.
+
+    Built from arrays ``x0, y0, x1, y1`` (one row per undirected segment).
+    Directed edge ids: edge i has half-edges 2i (u->v) and 2i+1 (v->u), the
+    same layout as the reference (planar_graph.rs:243-244); sym(e) = e ^ 1.
+    """
+
+    def __init__(self, x0: np.ndarray, y0: np.ndarray, x1: np.ndarray, y1: np.ndarray):
+        x0 = np.asarray(x0, dtype=np.float64)
+        y0 = np.asarray(y0, dtype=np.float64)
+        x1 = np.asarray(x1, dtype=np.float64)
+        y1 = np.asarray(y1, dtype=np.float64)
+
+        # degenerate filter (planar_graph.rs:211-213)
+        keep = ~((np.abs(x0 - x1) < 1e-12) & (np.abs(y0 - y1) < 1e-12))
+        x0, y0, x1, y1 = x0[keep], y0[keep], x1[keep], y1[keep]
+        m = len(x0)
+
+        # --- node dedup: exact-bits identity, ids in Z-order rank ------------
+        # The reference sorts endpoint entries by (z, x, y) and dedups on exact
+        # coord equality (planar_graph.rs:135-160).  Its z-order key uses only
+        # the LOW 32 bits of each sortable float (utils/mod.rs:29-31 masks),
+        # so z does NOT determine (x, y); we sort by the exact same composite
+        # key (z, x, y) to reproduce identical node id assignment.
+        ex = np.concatenate([x0, x1])
+        ey = np.concatenate([y0, y1])
+        ez = z_order_index(ex, ey)
+        order = np.lexsort((ey, ex, ez))
+        sx, sy = ex[order], ey[order]
+        if m:
+            new = np.empty(2 * m, dtype=bool)
+            new[0] = True
+            new[1:] = (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1])
+            self.nodes_x = sx[new]
+            self.nodes_y = sy[new]
+            # rank of each original endpoint among deduped nodes
+            rank = np.cumsum(new) - 1
+            endpoint_node = np.empty(2 * m, dtype=np.int64)
+            endpoint_node[order] = rank
+        else:
+            self.nodes_x = sx
+            self.nodes_y = sy
+            endpoint_node = np.empty(0, dtype=np.int64)
+
+        n = len(self.nodes_x)
+        self.n_nodes = n
+        self.n_edges = m
+        self.edge_src = endpoint_node[:m]  # node id of each segment's start
+        self.edge_dst = endpoint_node[m:]
+
+        # half-edges: de 2i = src->dst, de 2i+1 = dst->src
+        self.de_src = np.empty(2 * m, dtype=np.int64)
+        self.de_dst = np.empty(2 * m, dtype=np.int64)
+        self.de_src[0::2] = self.edge_src
+        self.de_dst[0::2] = self.edge_dst
+        self.de_src[1::2] = self.edge_dst
+        self.de_dst[1::2] = self.edge_src
+        self.de_marked = np.zeros(2 * m, dtype=bool)
+
+        self.nodes_degree = np.bincount(self.de_src, minlength=n).astype(np.int64)
+        self.nodes_marked = np.zeros(n, dtype=bool)
+
+        # CSR adjacency in half-edge insertion order (matches the push order
+        # of planar_graph.rs:309-317: ties in the angular sort are resolved by
+        # Rust's stable sort, so insertion order matters for exact parity).
+        order_adj = np.argsort(self.de_src, kind="stable")
+        self.adj = order_adj  # flat list of DirEdgeIds grouped by src
+        self.adj_offsets = np.concatenate(
+            [[0], np.cumsum(np.bincount(self.de_src, minlength=n))]
+        ).astype(np.int64)
+        self._sorted = False
+
+    # ------------------------------------------------------------------
+    def sort_edges(self) -> None:
+        """CCW angular sort of each node's outgoing half-edges.
+
+        compare_angular (utils/mod.rs:46-85): quadrant first, then robust
+        orient2d, collinear ties by squared distance ascending.  Vectorized:
+        sort by (quadrant, float pseudo-angle, squared distance) with a
+        stable lexsort, then certify every adjacent pair with the orient2d
+        error-bound filter; nodes with an uncertain or violated pair are
+        re-sorted exactly in Python (rare: near-collinear float geometry).
+        """
+        de = self.adj
+        cx = self.nodes_x[self.de_src[de]]
+        cy = self.nodes_y[self.de_src[de]]
+        dx = self.nodes_x[self.de_dst[de]] - cx
+        dy = self.nodes_y[self.de_dst[de]] - cy
+        q = quadrant(dx, dy)
+        pa = pseudo_angle_within_quadrant(dx, dy, q)
+        d2 = dx * dx + dy * dy
+        # stable composite sort within the existing src grouping
+        order = np.lexsort((np.arange(len(de)), d2, pa, q, self.de_src[de]))
+        self.adj = de[order]
+
+        # --- certification pass ---------------------------------------
+        de = self.adj
+        # adjacent pairs within each node's list
+        pair_a = de[:-1]
+        pair_b = de[1:]
+        # mask out pairs crossing node boundaries
+        same_node = self.de_src[pair_a] == self.de_src[pair_b]
+        ia = np.flatnonzero(same_node)
+        if len(ia):
+            a, b = pair_a[ia], pair_b[ia]
+            ccx = self.nodes_x[self.de_src[a]]
+            ccy = self.nodes_y[self.de_src[a]]
+            adx = self.nodes_x[self.de_dst[a]] - ccx
+            ady = self.nodes_y[self.de_dst[a]] - ccy
+            bdx = self.nodes_x[self.de_dst[b]] - ccx
+            bdy = self.nodes_y[self.de_dst[b]] - ccy
+            qa = quadrant(adx, ady)
+            qb = quadrant(bdx, bdy)
+            detl = adx * bdy
+            detr = ady * bdx
+            det = detl - detr
+            err = CCW_ERRBOUND_A * (np.abs(detl) + np.abs(detr))
+            # pair is certainly fine if quadrants strictly ascend, or same
+            # quadrant and det certainly positive (a before b in CCW), or
+            # exactly collinear-same-dir with distance tie handled by lexsort.
+            ok = (qa < qb) | ((qa == qb) & (det > err))
+            suspicious = ~ok
+            if suspicious.any():
+                bad_nodes = np.unique(self.de_src[a[suspicious]])
+                self._exact_resort(bad_nodes)
+        self._sorted = True
+
+    def _exact_resort(self, node_ids: np.ndarray) -> None:
+        """Exact Python re-sort of the adjacency of the given nodes using the
+        reference comparator verbatim (utils/mod.rs:46-85)."""
+        import functools
+
+        nx, ny = self.nodes_x, self.nodes_y
+        de_dst = self.de_dst
+
+        for node in node_ids:
+            s, e = self.adj_offsets[node], self.adj_offsets[node + 1]
+            lst = list(self.adj[s:e])
+            cxx, cyy = float(nx[node]), float(ny[node])
+
+            def cmp(a_idx: int, b_idx: int) -> int:
+                tax, tay = float(nx[de_dst[a_idx]]), float(ny[de_dst[a_idx]])
+                tbx, tby = float(nx[de_dst[b_idx]]), float(ny[de_dst[b_idx]])
+                if tax == tbx and tay == tby:
+                    return 0
+                dxa, dya = tax - cxx, tay - cyy
+                dxb, dyb = tbx - cxx, tby - cyy
+                qa = 0 if (dxa > 0 and dya >= 0) else 1 if (dxa <= 0 and dya > 0) else 2 if (dxa < 0 and dya <= 0) else 3
+                qb = 0 if (dxb > 0 and dyb >= 0) else 1 if (dxb <= 0 and dyb > 0) else 2 if (dxb < 0 and dyb <= 0) else 3
+                if qa != qb:
+                    return -1 if qa < qb else 1
+                o = orient2d_exact(tax, tay, tbx, tby, cxx, cyy)
+                if o > 0:
+                    return -1
+                if o < 0:
+                    return 1
+                da = dxa * dxa + dya * dya
+                db = dxb * dxb + dyb * dyb
+                return -1 if da < db else (1 if da > db else 0)
+
+            lst.sort(key=functools.cmp_to_key(cmp))  # python sort is stable
+            self.adj[s:e] = lst
+
+    # ------------------------------------------------------------------
+    def prune_dangles(self) -> int:
+        """Iterative degree-1 peel (planar_graph.rs:426-472)."""
+        degree = self.nodes_degree
+        marked = self.nodes_marked
+        de_marked = self.de_marked
+        adj = self.adj
+        offs = self.adj_offsets
+        de_dst = self.de_dst
+
+        stack = list(np.flatnonzero((degree == 1) & ~marked))
+        removed = 0
+        while stack:
+            node = stack.pop()
+            if degree[node] != 1:
+                continue
+            marked[node] = True
+            degree[node] = 0
+            removed += 1
+            # first unmarked outgoing half-edge
+            for de_idx in adj[offs[node] : offs[node + 1]]:
+                if not de_marked[de_idx]:
+                    de_marked[de_idx] = True
+                    de_marked[de_idx ^ 1] = True  # sym twin
+                    nb = de_dst[de_idx]
+                    if degree[nb] > 0:
+                        degree[nb] -= 1
+                        if degree[nb] == 1 and not marked[nb]:
+                            stack.append(int(nb))
+                    break
+        return removed
+
+    # ------------------------------------------------------------------
+    def get_edge_rings(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Trace minimal rings via the next-CCW rule (planar_graph.rs:475-561).
+
+        Returns Arrow-style flat layout: (flat_x, flat_y, offsets) where ring
+        k's closed coordinates are flat[offsets[k]:offsets[k+1]].
+        """
+        n_de = 2 * self.n_edges
+        NONE = np.int64(-1)
+        next_ptr = np.full(n_de, NONE, dtype=np.int64)
+
+        # circular "next unmarked" pointers per node over the sorted adjacency
+        # (planar_graph.rs:485-502), fully vectorized: within each node's
+        # unmarked sub-list, next_ptr[curr] = the following entry, wrapping.
+        adj = self.adj
+        kept = adj[~self.de_marked[adj]]
+        if len(kept):
+            srcs = self.de_src[kept]
+            nxt = np.roll(kept, -1)
+            boundaries = np.flatnonzero(srcs[1:] != srcs[:-1])
+            group_last = np.concatenate([boundaries, [len(kept) - 1]])
+            group_first = np.concatenate([[0], boundaries + 1])
+            nxt[group_last] = kept[group_first]
+            next_ptr[kept] = nxt
+
+        visited = np.zeros(n_de, dtype=bool)
+        de_marked = self.de_marked
+        de_src = self.de_src
+        de_dst = self.de_dst
+        nx, ny = self.nodes_x, self.nodes_y
+
+        ring_node_lists: list[np.ndarray] = []
+
+        ring_edges: list[int] = []
+        for start in range(n_de):
+            if visited[start] or de_marked[start]:
+                continue
+            ring_edges.clear()
+            curr = start
+            valid = True
+            while True:
+                visited[curr] = True
+                ring_edges.append(curr)
+                nxt = next_ptr[curr ^ 1]  # next after the incoming sym edge
+                if nxt == NONE:
+                    valid = False
+                    break
+                curr = int(nxt)
+                if curr == start:
+                    break
+                if visited[curr]:
+                    valid = False
+                    break
+            if valid and ring_edges:
+                edges_arr = np.array(ring_edges, dtype=np.int64)
+                nodes = np.empty(len(edges_arr) + 1, dtype=np.int64)
+                nodes[0] = de_src[edges_arr[0]]
+                nodes[1:] = de_dst[edges_arr]
+                ring_node_lists.append(nodes)
+
+        if not ring_node_lists:
+            return (
+                np.empty(0, dtype=np.float64),
+                np.empty(0, dtype=np.float64),
+                np.zeros(1, dtype=np.int64),
+            )
+        lengths = np.array([len(r) for r in ring_node_lists], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lengths)])
+        all_nodes = np.concatenate(ring_node_lists)
+        return nx[all_nodes], ny[all_nodes], offsets

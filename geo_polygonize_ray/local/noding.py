@@ -1,0 +1,234 @@
+"""Iterative snapping noder (reference src/noding/snap.rs).
+
+Same semantics as the reference's ``SnapNoder``:
+  1. snap all endpoints to the grid, drop degenerates     (snap.rs:35-42)
+  2. up to ``max_iter`` (=10) rounds of:
+       find AABB-overlapping candidate pairs              (snap.rs:117-134)
+       classify intersections, collect snapped split pts  (snap.rs:140-167)
+       split each segment at its points sorted by
+       distance-from-start, dedup consecutive points      (snap.rs:55-79)
+       canonical-direction normalize + sort + dedup       (snap.rs:88-101)
+
+The R-tree self-join is replaced by a uniform bucket-grid candidate
+generator — vectorized with numpy, and the per-cell shuffle upstream already
+bounds the working set (SURVEY.md §2.3 ST1: "the groupby shuffle replaces
+the global R-tree").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geo_polygonize_ray.geom.kernels import (
+    COLLINEAR_OVERLAP,
+    SINGLE_POINT,
+    segment_intersections,
+    snap_to_grid,
+)
+
+
+def _candidate_pairs(x0, y0, x1, y1) -> tuple[np.ndarray, np.ndarray]:
+    """All i<j pairs whose AABBs overlap (closed), via uniform grid buckets."""
+    n = len(x0)
+    if n < 2:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    minx = np.minimum(x0, x1)
+    maxx = np.maximum(x0, x1)
+    miny = np.minimum(y0, y1)
+    maxy = np.maximum(y0, y1)
+
+    gminx, gmaxx = float(minx.min()), float(maxx.max())
+    gminy, gmaxy = float(miny.min()), float(maxy.max())
+    # bucket size ~ median segment extent, bounded so the grid stays sane
+    ext = np.median(np.maximum(maxx - minx, maxy - miny))
+    span = max(gmaxx - gminx, gmaxy - gminy, 1e-300)
+    h = max(float(ext), span / 1024.0)
+    if h <= 0:
+        h = span
+
+    bx0 = np.floor((minx - gminx) / h).astype(np.int64)
+    bx1 = np.floor((maxx - gminx) / h).astype(np.int64)
+    by0 = np.floor((miny - gminy) / h).astype(np.int64)
+    by1 = np.floor((maxy - gminy) / h).astype(np.int64)
+    ncols = int(bx1.max()) + 1
+
+    # explode each segment to its covered buckets (AABB span); segment AABBs
+    # are at most a few buckets wide because h tracks the median extent
+    counts = (bx1 - bx0 + 1) * (by1 - by0 + 1)
+    seg_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+    # per-exploded-row local bucket offset
+    total = int(counts.sum())
+    local = np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+    w = np.repeat(bx1 - bx0 + 1, counts)
+    dxb = local % w
+    dyb = local // w
+    bucket = (np.repeat(by0, counts) + dyb) * ncols + (np.repeat(bx0, counts) + dxb)
+
+    order = np.lexsort((seg_ids, bucket))
+    bucket = bucket[order]
+    seg_ids = seg_ids[order]
+
+    # all i<j pairs within each bucket — fully vectorized triangular expansion
+    starts = np.flatnonzero(np.concatenate([[True], bucket[1:] != bucket[:-1]]))
+    ends = np.concatenate([starts[1:], [len(bucket)]])
+    sizes = ends - starts
+    pos = np.arange(len(bucket)) - np.repeat(starts, sizes)
+    counts_after = np.repeat(sizes, sizes) - pos - 1
+    total_pairs = int(counts_after.sum())
+    if total_pairs == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    a_idx = np.repeat(np.arange(len(bucket)), counts_after)
+    run_starts = np.concatenate([[0], np.cumsum(counts_after)[:-1]])
+    b_off = np.arange(total_pairs) - np.repeat(run_starts, counts_after) + 1
+    b_idx = a_idx + b_off
+    i = seg_ids[a_idx]
+    j = seg_ids[b_idx]
+    lo = np.minimum(i, j)
+    hi = np.maximum(i, j)
+    pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    i, j = pairs[:, 0], pairs[:, 1]
+    # exact AABB filter (closed intervals, like rstar's envelope intersection)
+    ok = (
+        (minx[i] <= maxx[j])
+        & (maxx[i] >= minx[j])
+        & (miny[i] <= maxy[j])
+        & (maxy[i] >= miny[j])
+    )
+    return i[ok], j[ok]
+
+
+class SnapNoder:
+    def __init__(self, grid_size: float = 1e-10, max_iter: int = 10):
+        self.grid_size = grid_size
+        self.max_iter = max_iter
+
+    def node(
+        self, x0: np.ndarray, y0: np.ndarray, x1: np.ndarray, y1: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Node the segment soup; returns fully-noded canonical segments."""
+        x0 = snap_to_grid(np.asarray(x0, dtype=np.float64), self.grid_size)
+        y0 = snap_to_grid(np.asarray(y0, dtype=np.float64), self.grid_size)
+        x1 = snap_to_grid(np.asarray(x1, dtype=np.float64), self.grid_size)
+        y1 = snap_to_grid(np.asarray(y1, dtype=np.float64), self.grid_size)
+        keep = ~((x0 == x1) & (y0 == y1))  # exact, post-snap (snap.rs:42)
+        x0, y0, x1, y1 = x0[keep], y0[keep], x1[keep], y1[keep]
+
+        # Canonicalize + dedup identical segments up front.  DOCUMENTED
+        # DIVERGENCE from the reference: snap.rs:88-101 only dedups inside a
+        # split iteration, so exactly-duplicated segments with no proper
+        # intersections survive (e.g. the shared edge of two touching squares)
+        # and break ring tracing — the reference's own touching-squares test
+        # expectation (tests/integration_tests.rs:67-70) requires the dedup.
+        # GEOS's noder always dedups; we match GEOS (and the test).
+        x0, y0, x1, y1 = _canonicalize_dedup(x0, y0, x1, y1)
+
+        for _ in range(self.max_iter):
+            splits = self._find_splits(x0, y0, x1, y1)
+            if splits is None:
+                break
+            split_seg, split_x, split_y = splits
+            x0, y0, x1, y1 = self._apply_splits(x0, y0, x1, y1, split_seg, split_x, split_y)
+        return x0, y0, x1, y1
+
+    # ------------------------------------------------------------------
+    def _find_splits(self, x0, y0, x1, y1):
+        """Returns (segment_idx, x, y) arrays of split points, or None.
+
+        A split is registered on a segment when the snapped intersection
+        point differs from both of that segment's endpoints
+        (snap.rs:146-151, 159-166).
+        """
+        i, j = _candidate_pairs(x0, y0, x1, y1)
+        if len(i) == 0:
+            return None
+        kind, axp, ayp, bxp, byp = segment_intersections(
+            x0[i], y0[i], x1[i], y1[i], x0[j], y0[j], x1[j], y1[j]
+        )
+
+        seg_out: list[np.ndarray] = []
+        px_out: list[np.ndarray] = []
+        py_out: list[np.ndarray] = []
+
+        def register(pairs_idx: np.ndarray, px: np.ndarray, py: np.ndarray) -> None:
+            sx = snap_to_grid(px, self.grid_size)
+            sy = snap_to_grid(py, self.grid_size)
+            for side in (i, j):
+                s = side[pairs_idx]
+                need = ~(((sx == x0[s]) & (sy == y0[s])) | ((sx == x1[s]) & (sy == y1[s])))
+                seg_out.append(s[need])
+                px_out.append(sx[need])
+                py_out.append(sy[need])
+
+        single = np.flatnonzero(kind == SINGLE_POINT)
+        if len(single):
+            register(single, axp[single], ayp[single])
+        coll = np.flatnonzero(kind == COLLINEAR_OVERLAP)
+        if len(coll):
+            register(coll, axp[coll], ayp[coll])
+            register(coll, bxp[coll], byp[coll])
+
+        if not seg_out:
+            return None
+        seg = np.concatenate(seg_out)
+        if len(seg) == 0:
+            return None
+        return seg, np.concatenate(px_out), np.concatenate(py_out)
+
+    # ------------------------------------------------------------------
+    def _apply_splits(self, x0, y0, x1, y1, split_seg, split_x, split_y):
+        """Split segments at their points (sorted by distance from start,
+        consecutive-dup removed, snap.rs:55-79), then canonicalize + sort +
+        dedup the whole segment set (snap.rs:88-101)."""
+        n = len(x0)
+        has_split = np.zeros(n, dtype=bool)
+        has_split[split_seg] = True
+
+        # group split points by segment
+        order = np.argsort(split_seg, kind="stable")
+        gseg = split_seg[order]
+        gx = split_x[order]
+        gy = split_y[order]
+        starts = np.flatnonzero(np.concatenate([[True], gseg[1:] != gseg[:-1]]))
+        ends = np.concatenate([starts[1:], [len(gseg)]])
+
+        out_x0 = [x0[~has_split]]
+        out_y0 = [y0[~has_split]]
+        out_x1 = [x1[~has_split]]
+        out_y1 = [y1[~has_split]]
+
+        for s, e in zip(starts, ends):
+            seg = gseg[s]
+            # points = splits + both endpoints, sorted by dist from start
+            px = np.concatenate([gx[s:e], [x0[seg], x1[seg]]])
+            py = np.concatenate([gy[s:e], [y0[seg], y1[seg]]])
+            d = (px - x0[seg]) ** 2 + (py - y0[seg]) ** 2
+            o = np.argsort(d, kind="stable")
+            px, py = px[o], py[o]
+            keep = np.concatenate([[True], (px[1:] != px[:-1]) | (py[1:] != py[:-1])])
+            px, py = px[keep], py[keep]
+            if len(px) >= 2:
+                out_x0.append(px[:-1])
+                out_y0.append(py[:-1])
+                out_x1.append(px[1:])
+                out_y1.append(py[1:])
+
+        nx0 = np.concatenate(out_x0)
+        ny0 = np.concatenate(out_y0)
+        nx1 = np.concatenate(out_x1)
+        ny1 = np.concatenate(out_y1)
+
+        return _canonicalize_dedup(nx0, ny0, nx1, ny1)
+
+
+def _canonicalize_dedup(nx0, ny0, nx1, ny1):
+    """Canonical direction (start < end lexicographically with the
+    reference's 1e-12 x-tolerance, snap.rs:88-95), then sort + dedup
+    identical segments (snap.rs:96-101)."""
+    swap = (nx0 > nx1) | ((np.abs(nx0 - nx1) < 1e-12) & (ny0 > ny1))
+    tx0 = np.where(swap, nx1, nx0)
+    ty0 = np.where(swap, ny1, ny0)
+    tx1 = np.where(swap, nx0, nx1)
+    ty1 = np.where(swap, ny0, ny1)
+    rows = np.stack([tx0, ty0, tx1, ty1], axis=1)
+    rows = np.unique(rows, axis=0)
+    return rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3]

@@ -1,0 +1,244 @@
+"""Single-partition polygonizer (reference src/polygonizer.rs, all 8 phases).
+
+This is the per-cell worker payload of the Ray engine — NOT a user API.  One
+call processes one partition's linework entirely in numpy, mirroring the
+reference's phase sequence (src/polygonizer.rs:112-262):
+
+  1. build graph (dedup lines -> explode -> [node] -> bulk load)
+  2. angular sort            5. classify shells/holes (signed area)
+  3. prune dangles           6. promote twin-less CW rings to shells
+  4. trace edge rings        7. assign holes to min-area containing shell
+                             8. assemble + sliver filter
+
+The distributed pipeline (pipelines/polygonize.py) shuffles linework by
+spatial cell and runs this inside ``map_groups`` actors, then applies the
+centroid-ownership filter (reference src/tiling.rs:99-106).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from geo_polygonize_ray.geom.kernels import (
+    points_in_ring,
+    ring_centroid,
+    signed_area,
+    signed_area_many,
+    bbox_many,
+)
+from geo_polygonize_ray.local.graph import PlanarGraph
+from geo_polygonize_ray.local.noding import SnapNoder
+
+
+@dataclass
+class Polygon:
+    """shell is a closed (N,2)-ish pair of arrays; holes are closed rings."""
+
+    shell_x: np.ndarray
+    shell_y: np.ndarray
+    holes_x: list[np.ndarray] = field(default_factory=list)
+    holes_y: list[np.ndarray] = field(default_factory=list)
+
+    @property
+    def shell_area(self) -> float:
+        return abs(signed_area(self.shell_x[:-1], self.shell_y[:-1]))
+
+    @property
+    def area(self) -> float:
+        """Unsigned area of shell minus holes (geo::Area on Polygon with
+        CW-wound interiors, as used at src/polygonizer.rs:256)."""
+        a = signed_area(self.shell_x[:-1], self.shell_y[:-1])
+        for hx, hy in zip(self.holes_x, self.holes_y):
+            a += signed_area(hx[:-1], hy[:-1])  # holes traced CW -> negative
+        return abs(a)
+
+    def centroid(self) -> tuple[float, float]:
+        return ring_centroid(self.shell_x, self.shell_y)
+
+
+def dedup_linestrings(lines: list[np.ndarray]) -> list[np.ndarray]:
+    """Stable sort by first coordinate, remove consecutive identical
+    linestrings (src/polygonizer.rs:75-83: sort_by first coord then dedup)."""
+    if not lines:
+        return lines
+    firsts = np.array(
+        [(ls[0, 0], ls[0, 1]) if len(ls) else (0.0, 0.0) for ls in lines], dtype=np.float64
+    )
+    order = np.lexsort((firsts[:, 1], firsts[:, 0]))
+    out: list[np.ndarray] = []
+    for idx in order:
+        ls = lines[idx]
+        if out and out[-1].shape == ls.shape and np.array_equal(out[-1], ls):
+            continue
+        out.append(ls)
+    return out
+
+
+def explode_to_segments(
+    lines: list[np.ndarray],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """LineStrings -> consecutive-pair segments (src/polygonizer.rs:86-100)."""
+    xs0, ys0, xs1, ys1 = [], [], [], []
+    for ls in lines:
+        if len(ls) < 2:
+            continue
+        xs0.append(ls[:-1, 0])
+        ys0.append(ls[:-1, 1])
+        xs1.append(ls[1:, 0])
+        ys1.append(ls[1:, 1])
+    if not xs0:
+        z = np.empty(0, dtype=np.float64)
+        return z, z.copy(), z.copy(), z.copy()
+    return (
+        np.concatenate(xs0).astype(np.float64),
+        np.concatenate(ys0).astype(np.float64),
+        np.concatenate(xs1).astype(np.float64),
+        np.concatenate(ys1).astype(np.float64),
+    )
+
+
+class LocalPolygonizer:
+    """Mirror of reference ``Polygonizer`` config + phases (src/polygonizer.rs:27-54)."""
+
+    def __init__(self, node_input: bool = False, snap_grid_size: float = 1e-10,
+                 max_noding_iters: int = 10):
+        self.node_input = node_input
+        self.snap_grid_size = snap_grid_size
+        self.max_noding_iters = max_noding_iters
+        self._lines: list[np.ndarray] = []
+
+    def add_linestring(self, coords: np.ndarray) -> None:
+        """coords: (N, 2) float array. Polygon rings are added as linework
+        by the caller (extract_lines semantics, src/polygonizer.rs:265-288)."""
+        self._lines.append(np.asarray(coords, dtype=np.float64))
+
+    def polygonize(self) -> list[Polygon]:
+        lines = self._lines
+        if self.node_input:
+            lines = dedup_linestrings(lines)
+            x0, y0, x1, y1 = explode_to_segments(lines)
+            noder = SnapNoder(self.snap_grid_size, self.max_noding_iters)
+            x0, y0, x1, y1 = noder.node(x0, y0, x1, y1)
+        else:
+            x0, y0, x1, y1 = explode_to_segments(lines)
+        return polygonize_segments(x0, y0, x1, y1)
+
+
+def polygonize_lines(
+    lines: list[np.ndarray],
+    node_input: bool = False,
+    snap_grid_size: float = 1e-10,
+    max_noding_iters: int = 10,
+) -> list[Polygon]:
+    p = LocalPolygonizer(node_input, snap_grid_size, max_noding_iters)
+    for ls in lines:
+        p.add_linestring(ls)
+    return p.polygonize()
+
+
+def polygonize_segments(x0, y0, x1, y1) -> list[Polygon]:
+    """Phases 2-8 over an already-noded segment soup."""
+    graph = PlanarGraph(x0, y0, x1, y1)
+    graph.sort_edges()
+    graph.prune_dangles()
+    flat_x, flat_y, offsets = graph.get_edge_rings()
+    return assemble_polygons(flat_x, flat_y, offsets)
+
+
+def assemble_polygons(flat_x: np.ndarray, flat_y: np.ndarray, offsets: np.ndarray) -> list[Polygon]:
+    """Phases 5-8: classify, promote, assign holes, assemble.
+
+    Exact reference semantics:
+      * |area| < 1e-9 rings dropped as degenerate   (src/polygonizer.rs:138)
+      * CCW -> shell, CW -> hole                     (src/polygonizer.rs:142-148)
+      * CW ring promoted to (CCW-rewound) shell iff no CCW shell with
+        |area diff| < 1e-6 AND bit-identical bbox    (src/polygonizer.rs:151-185)
+      * every hole assigned to the minimum-area shell that PIP-contains its
+        centroid and has area > hole_area + 1e-6     (src/polygonizer.rs:199-249)
+      * polygons with residual area <= 1e-6 dropped  (src/polygonizer.rs:256)
+    """
+    n_rings = len(offsets) - 1
+    if n_rings == 0:
+        return []
+    areas = signed_area_many(flat_x, flat_y, offsets)
+    keep = np.abs(areas) >= 1e-9
+    ring_ids = np.flatnonzero(keep)
+    shell_ids = [int(r) for r in ring_ids if areas[r] > 0]
+    hole_ids = [int(r) for r in ring_ids if areas[r] < 0]
+
+    def ring(r: int) -> tuple[np.ndarray, np.ndarray]:
+        s, e = offsets[r], offsets[r + 1]
+        return flat_x[s:e], flat_y[s:e]
+
+    minx, miny, maxx, maxy = bbox_many(flat_x, flat_y, offsets)
+
+    # --- promotion anti-join (src/polygonizer.rs:151-185) ------------------
+    # keyed scan instead of the reference's O(H*S) loop: bucket shells by
+    # bit-exact bbox; within a bucket compare |area| within 1e-6.
+    shells: list[int] = list(shell_ids)  # ring ids; promoted entries appended after
+    promoted: list[int] = []
+    bbox_key: dict[tuple, list[float]] = {}
+    for s in shell_ids:
+        key = (minx[s], miny[s], maxx[s], maxy[s])
+        bbox_key.setdefault(key, []).append(abs(areas[s]))
+    for h in hole_ids:
+        key = (minx[h], miny[h], maxx[h], maxy[h])
+        ha = abs(areas[h])
+        twins = bbox_key.get(key)
+        if twins is None or not any(abs(sa - ha) < 1e-6 for sa in twins):
+            promoted.append(h)
+    shells.extend(promoted)
+    promoted_set = set(promoted)
+
+    # shell ring coords (promoted ones rewound CCW, src/polygonizer.rs:165-168)
+    shell_rings: list[tuple[np.ndarray, np.ndarray]] = []
+    for s in shells:
+        rx, ry = ring(s)
+        if s in promoted_set:
+            rx, ry = rx[::-1].copy(), ry[::-1].copy()
+        shell_rings.append((rx, ry))
+    shell_areas = np.array([abs(areas[s]) for s in shells])
+    s_minx = np.array([minx[s] for s in shells])
+    s_miny = np.array([miny[s] for s in shells])
+    s_maxx = np.array([maxx[s] for s in shells])
+    s_maxy = np.array([maxy[s] for s in shells])
+
+    # --- hole assignment (src/polygonizer.rs:199-249) ----------------------
+    assignments: dict[int, list[int]] = {}
+    for h in hole_ids:
+        hx, hy = ring(h)
+        cx, cy = ring_centroid(hx, hy)
+        ha = abs(areas[h])
+        # bbox candidate filter (the R-tree envelope query)
+        cand = np.flatnonzero(
+            (s_minx <= maxx[h]) & (s_maxx >= minx[h]) & (s_miny <= maxy[h]) & (s_maxy >= miny[h])
+        )
+        best = -1
+        best_area = np.inf
+        for si in cand:
+            sa = shell_areas[si]
+            if sa > ha + 1e-6 and sa < best_area:
+                sx, sy = shell_rings[si]
+                if points_in_ring(np.array([cx]), np.array([cy]), sx, sy)[0]:
+                    best = int(si)
+                    best_area = sa
+        if best >= 0:
+            assignments.setdefault(best, []).append(h)
+
+    # --- assemble (src/polygonizer.rs:246-261) -----------------------------
+    result: list[Polygon] = []
+    for si, (sx, sy) in enumerate(shell_rings):
+        holes = assignments.get(si, [])
+        hx = []
+        hy = []
+        residual = shell_areas[si]
+        for h in holes:
+            rx, ry = ring(h)
+            hx.append(rx)
+            hy.append(ry)
+            residual -= abs(areas[h])
+        if abs(residual) > 1e-6:
+            result.append(Polygon(sx, sy, hx, hy))
+    return result
