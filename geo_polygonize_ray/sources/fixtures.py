@@ -1,0 +1,190 @@
+"""Deterministic synthetic fixtures (FIXTURES.md §1, §4).
+
+* ``generate_image_table`` — the driver ``input_hint``-shaped image+caption
+  Parquet table: each row is a rasterized mini-geometry scene (grid cells /
+  nested squares / random rectangles) so vectorize -> polygonize ->
+  rasterize round-trips are checkable per row.
+* ``grid_lines`` / ``random_lines`` — the reference's benchmark generators
+  (reference benches/polygonize_bench.rs:7-38): grid N = (N+1) horizontal +
+  (N+1) vertical lines over [0,N]^2; random K = K segments uniform in
+  [0,100]^2.  The reference seeds Rust StdRng(42) whose stream is not
+  reproducible here; we use numpy default_rng(seed) and lock our own goldens.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from geo_polygonize_ray.raster.codec import encode_image
+from geo_polygonize_ray.raster.phash import phash64
+from geo_polygonize_ray.sources.table import IMAGE_SCHEMA
+
+_SCENES = ("grid", "nested", "rects")
+_FMTS = ("rgb8-raw", "png", "rgb8-q6")
+
+# a small palette of well-separated colors so quantized formats stay regional
+_PALETTE = np.array(
+    [
+        [16, 32, 64],
+        [200, 40, 40],
+        [40, 180, 60],
+        [60, 80, 220],
+        [230, 200, 40],
+        [150, 60, 180],
+        [40, 200, 200],
+        [240, 240, 240],
+    ],
+    dtype=np.uint8,
+)
+
+
+def make_scene(i: int, w: int = 64, h: int = 64, seed: int = 42) -> tuple[np.ndarray, str, int]:
+    """Deterministic flat-color scene for image i -> (img, scene_name, n_regions)."""
+    rng = np.random.default_rng(seed * 1_000_003 + i)
+    scene = _SCENES[i % len(_SCENES)]
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    if scene == "grid":
+        k = int(rng.integers(2, 6))
+        ys = np.linspace(0, h, k + 1).astype(int)
+        xs = np.linspace(0, w, k + 1).astype(int)
+        n = 0
+        for r in range(k):
+            for c in range(k):
+                img[ys[r] : ys[r + 1], xs[c] : xs[c + 1]] = _PALETTE[int(rng.integers(0, len(_PALETTE)))]
+                n += 1
+        regions = n
+    elif scene == "nested":
+        img[:] = _PALETTE[0]
+        m = int(rng.integers(2, 5))
+        step = min(w, h) // (2 * m + 1)
+        for j in range(1, m + 1):
+            a = j * step
+            img[a : h - a, a : w - a] = _PALETTE[j % len(_PALETTE)]
+        regions = m + 1
+    else:  # random axis-aligned rectangles painted over a background
+        img[:] = _PALETTE[0]
+        nrect = int(rng.integers(3, 9))
+        for _ in range(nrect):
+            x0, x1 = sorted(rng.integers(0, w, 2).tolist())
+            y0, y1 = sorted(rng.integers(0, h, 2).tolist())
+            if x1 - x0 < 2 or y1 - y0 < 2:
+                continue
+            img[y0:y1, x0:x1] = _PALETTE[int(rng.integers(1, len(_PALETTE)))]
+        regions = -1  # not known a priori
+    return img, scene, regions
+
+
+def generate_image_table(
+    n_rows: int,
+    out_path: str,
+    w: int = 64,
+    h: int = 64,
+    seed: int = 42,
+    row_group_size: int = 2048,
+) -> str:
+    """Write the input_hint-shaped Parquet table; returns the path.
+
+    Columns (BASELINE.json input_hint): image_id:string, bytes:binary,
+    w:int32, h:int32, fmt:string, caption:string, phash:int64.
+    ``phash`` is computed over the DECODED pixels (so it re-verifies after a
+    lossy decode).  Caption embeds the scene so byte-equality survives the
+    whole pipeline.
+    """
+    ids, blobs, fmts, captions, hashes = [], [], [], [], []
+    from geo_polygonize_ray.raster.codec import decode_image
+
+    for i in range(n_rows):
+        img, scene, k = make_scene(i, w, h, seed)
+        fmt = _FMTS[i % len(_FMTS)]
+        data = encode_image(img, fmt)
+        decoded = decode_image(data, w, h, fmt)
+        ids.append(f"img-{i:08d}")
+        blobs.append(data)
+        fmts.append(fmt)
+        captions.append(f"tile {i}: {scene} with {k} cells" if k >= 0 else f"tile {i}: {scene} scene")
+        hashes.append(phash64(decoded))
+
+    table = pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array([w] * n_rows, pa.int32()),
+            "h": pa.array([h] * n_rows, pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array(hashes, pa.int64()),
+        },
+        schema=IMAGE_SCHEMA,
+    )
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    pq.write_table(table, out_path, row_group_size=row_group_size)
+    return out_path
+
+
+def cached_image_table(n_rows: int, w: int = 64, h: int = 64, seed: int = 42) -> str:
+    """Generate-once cache under /tmp for tests and benches."""
+    path = f"/tmp/gpr_cache/images_n{n_rows}_w{w}_h{h}_s{seed}.parquet"
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        generate_image_table(n_rows, tmp, w, h, seed)
+        os.replace(tmp, path)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# reference bench workload generators (benches/polygonize_bench.rs:7-38)
+# ---------------------------------------------------------------------------
+
+
+def grid_lines(n: int) -> list[np.ndarray]:
+    """(n+1) horizontal + (n+1) vertical lines over [0, n]^2 -> n^2 cells."""
+    lines = []
+    for i in range(n + 1):
+        lines.append(np.array([[0.0, float(i)], [float(n), float(i)]]))
+    for i in range(n + 1):
+        lines.append(np.array([[float(i), 0.0], [float(i), float(n)]]))
+    return lines
+
+
+def random_lines(k: int, seed: int = 42) -> list[np.ndarray]:
+    """k random segments with endpoints uniform in [0, 100]^2."""
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(0.0, 100.0, (k, 2, 2))
+    return [pts[i] for i in range(k)]
+
+
+def segments_table(lines: list[np.ndarray]) -> pa.Table:
+    """Explode linestrings to an Arrow segments table (the hot shuffle payload
+    layout from SURVEY.md §1.3)."""
+    x0, y0, x1, y1, line_id = [], [], [], [], []
+    for li, ls in enumerate(lines):
+        x0.append(ls[:-1, 0])
+        y0.append(ls[:-1, 1])
+        x1.append(ls[1:, 0])
+        y1.append(ls[1:, 1])
+        line_id.append(np.full(len(ls) - 1, li, dtype=np.int64))
+    return pa.table(
+        {
+            "line_id": np.concatenate(line_id),
+            "x0": np.concatenate(x0),
+            "y0": np.concatenate(y0),
+            "x1": np.concatenate(x1),
+            "y1": np.concatenate(y1),
+        }
+    )
+
+
+def linework_table(lines: list[np.ndarray], plane_id: str = "plane-0") -> pa.Table:
+    """LineStrings as an Arrow list-typed linework table (SURVEY.md §1.3)."""
+    return pa.table(
+        {
+            "plane_id": pa.array([plane_id] * len(lines), pa.string()),
+            "line_id": pa.array(range(len(lines)), pa.int64()),
+            "xs": pa.array([ls[:, 0].tolist() for ls in lines], pa.list_(pa.float64())),
+            "ys": pa.array([ls[:, 1].tolist() for ls in lines], pa.list_(pa.float64())),
+        }
+    )

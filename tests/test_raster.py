@@ -1,0 +1,94 @@
+"""Codec, phash, vectorize/rasterize round-trip tests (FIXTURES.md §1, §6.3)."""
+
+import numpy as np
+import pytest
+
+from geo_polygonize_ray.local import polygonize_lines
+from geo_polygonize_ray.local.polygonize import polygonize_segments
+from geo_polygonize_ray.raster import (
+    decode_image,
+    encode_image,
+    labels_to_linework,
+    phash64,
+    psnr,
+    rasterize_polygons,
+    rgb_to_labels,
+)
+from geo_polygonize_ray.raster.phash import hamming64
+from geo_polygonize_ray.sources.fixtures import make_scene
+
+
+class TestCodec:
+    def setup_method(self):
+        rng = np.random.default_rng(7)
+        self.img = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+
+    def test_raw_roundtrip(self):
+        data = encode_image(self.img, "rgb8-raw")
+        assert np.array_equal(decode_image(data, 48, 32, "rgb8-raw"), self.img)
+
+    def test_png_roundtrip(self):
+        data = encode_image(self.img, "png")
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        assert np.array_equal(decode_image(data, 48, 32, "png"), self.img)
+
+    def test_q6_psnr_above_40(self):
+        data = encode_image(self.img, "rgb8-q6")
+        dec = decode_image(data, 48, 32, "rgb8-q6")
+        assert psnr(self.img, dec) >= 40.0
+
+    def test_q4_is_below_40_on_noise(self):
+        # q4 exists but is too lossy for the >=40dB gate on noise images
+        data = encode_image(self.img, "rgb8-q4")
+        dec = decode_image(data, 48, 32, "rgb8-q4")
+        assert 25.0 < psnr(self.img, dec) < 40.0
+
+    def test_psnr_identical_capped(self):
+        assert psnr(self.img, self.img) == 999.0
+
+
+class TestPhash:
+    def test_deterministic_and_robust(self):
+        img, _, _ = make_scene(3)
+        h1 = phash64(img)
+        assert h1 == phash64(img.copy())
+        # q6 quantization must barely move the hash
+        dec = decode_image(encode_image(img, "rgb8-q6"), 64, 64, "rgb8-q6")
+        d = hamming64(np.array([h1]), np.array([phash64(dec)]))[0]
+        assert d <= 6
+        # a very different scene should be far
+        img2, _, _ = make_scene(4)
+        assert hamming64(np.array([h1]), np.array([phash64(img2)]))[0] > 10
+
+
+class TestVectorizeRoundtrip:
+    @pytest.mark.parametrize("i", [0, 1, 2, 3, 4, 5, 10, 17])
+    def test_scene_roundtrip_exact(self, i):
+        """decode -> vectorize -> polygonize -> rasterize == original."""
+        img, scene, _ = make_scene(i)
+        labels = rgb_to_labels(img)
+        x0, y0, x1, y1 = labels_to_linework(labels)
+        # linework is exactly noded -> no snapping pass needed
+        polys = polygonize_segments(x0, y0, x1, y1)
+        assert len(polys) >= 1
+        out = rasterize_polygons(polys, img)
+        assert np.array_equal(out, img), f"roundtrip failed for scene {scene} #{i}"
+
+    def test_single_color_image(self):
+        img = np.full((16, 16, 3), 77, dtype=np.uint8)
+        x0, y0, x1, y1 = labels_to_linework(rgb_to_labels(img))
+        polys = polygonize_segments(x0, y0, x1, y1)
+        assert len(polys) == 1
+        assert polys[0].area == pytest.approx(256.0)
+        out = rasterize_polygons(polys, img)
+        assert np.array_equal(out, img)
+
+    def test_checkerboard(self):
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        yy, xx = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        img[(yy + xx) % 2 == 0] = 255
+        x0, y0, x1, y1 = labels_to_linework(rgb_to_labels(img))
+        polys = polygonize_segments(x0, y0, x1, y1)
+        assert len(polys) == 64  # every pixel its own face
+        out = rasterize_polygons(polys, img)
+        assert np.array_equal(out, img)
