@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
+
+Float aggregates are rounded to 4 decimals on BOTH sides (Ray + SQL) so the
+value-hash is robust to summation order; column names match exactly.
+Queries without an oracle entry are non-SQL-expressible (polygonization,
+MinHash/SimHash, IVF ANN, image round-trip) and get the rows-only check.
 """
 
 from __future__ import annotations
@@ -20,25 +21,78 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthetic image+caption tiles (input_hint schema,
+    scale seeded from sf0.001) -> decode -> phash verify -> vectorize ->
+    polygonize -> rasterize -> per-row invariant summary Dataset."""
+    import ray.data as rd
+
+    from geo_polygonize_ray.pipelines.images import image_roundtrip_pipeline
+    from geo_polygonize_ray.sources.fixtures import cached_image_table
+
+    # deterministic scale derived from the sf0.001 documents table
+    n_docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet").count()
+    n_images = max(32, min(int(n_docs), 128))
+    path = cached_image_table(n_images)
+    return image_roundtrip_pipeline(path, batch_size=32)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from geo_polygonize_ray.pipelines import ann, geometry, relational, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational / generic data processing (SQL-checked) ---
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_orders": relational.q3_top_orders,
+        "q5_nation_revenue": relational.q5_nation_revenue,
+        "filter_project": relational.q_filter_project,
+        "distinct_brands": relational.q_distinct_brands,
+        "top_orders_by_price": relational.q_top_orders_by_price,
+        "busy_customers": relational.q_busy_customers,
+        "hash_join_order_revenue": relational.q_hash_join_order_revenue,
+        "events_hourly": relational.q_events_hourly,
+        "events_user_stats": relational.q_events_user_stats,
+        # --- text analysis / dedup (SQL-checked where expressible) ---
+        "token_counts": text.q_token_counts,
+        "doc_stats_by_lang": text.q_doc_stats_by_lang,
+        "top_longest_docs": text.q_top_longest_docs,
+        "exact_dedup": text.q_exact_dedup,
+        "quality_scores": text.q_quality_scores,
+        "lang_id": text.q_lang_id,
+        "simhash": text.q_simhash,
+        "fingerprints": text.q_fingerprints,
+        "minhash_lsh_pairs": text.minhash_lsh_pairs,
+        "ngram_jaccard_pairs": text.ngram_jaccard_pairs,
+        # --- similarity search (brute-force SQL-checked; IVF rows-only) ---
+        "ann_topk": ann.q_ann_topk,
+        "ann_ivf": ann.q_ann_ivf,
+        "embedding_near_dup": ann.embedding_near_dup,
+        "embedding_stats": ann.q_embedding_stats,
+        # --- polygonization engine (rows-only; pytest pins exact semantics) ---
+        "polygonize_grid": geometry.q_polygonize_grid,
+        "polygonize_random": geometry.q_polygonize_random,
+        "polygonize_tiled": geometry.q_polygonize_tiled,
+        "image_roundtrip": geometry.q_image_roundtrip,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from geo_polygonize_ray.pipelines import ann, relational, text
+
+    return {
+        "q1_pricing_summary": relational.Q1_SQL,
+        "q3_top_orders": relational.Q3_SQL,
+        "q5_nation_revenue": relational.Q5_SQL,
+        "filter_project": relational.Q_FILTER_SQL,
+        "distinct_brands": relational.Q_DISTINCT_SQL,
+        "top_orders_by_price": relational.Q_TOPK_SQL,
+        "busy_customers": relational.Q_HAVING_SQL,
+        "hash_join_order_revenue": relational.Q_HASH_JOIN_SQL,
+        "events_hourly": relational.Q_EVENTS_SQL,
+        "events_user_stats": relational.Q_EVENTS_USER_SQL,
+        "token_counts": text.Q_TOKEN_SQL,
+        "doc_stats_by_lang": text.Q_DOC_STATS_SQL,
+        "top_longest_docs": text.Q_TOP_LONGEST_SQL,
+        "exact_dedup": text.Q_EXACT_DEDUP_SQL,
+        "ann_topk": ann.Q_ANN_SQL_TEMPLATE.format(qid=0, k=10),
+        "embedding_stats": ann.Q_EMB_STATS_SQL,
+    }

@@ -138,12 +138,18 @@ def polygonize_lines(
     return p.polygonize()
 
 
-def polygonize_segments(x0, y0, x1, y1) -> list[Polygon]:
-    """Phases 2-8 over an already-noded segment soup."""
+def trace_rings(x0, y0, x1, y1) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Phases 2-4 over an already-noded segment soup: build graph, angular
+    sort, prune dangles, trace edge rings.  Returns the flat ring layout."""
     graph = PlanarGraph(x0, y0, x1, y1)
     graph.sort_edges()
     graph.prune_dangles()
-    flat_x, flat_y, offsets = graph.get_edge_rings()
+    return graph.get_edge_rings()
+
+
+def polygonize_segments(x0, y0, x1, y1) -> list[Polygon]:
+    """Phases 2-8 over an already-noded segment soup."""
+    flat_x, flat_y, offsets = trace_rings(x0, y0, x1, y1)
     return assemble_polygons(flat_x, flat_y, offsets)
 
 

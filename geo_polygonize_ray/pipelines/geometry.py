@@ -1,0 +1,68 @@
+"""Geometry pipelines exposed as driver queries (rows-only correctness:
+polygonization is not SQL-expressible; the driver records row counts and the
+pytest conformance corpus pins exact semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from geo_polygonize_ray.config import PipelineConfig
+from geo_polygonize_ray.pipelines.images import image_roundtrip_pipeline
+from geo_polygonize_ray.pipelines.polygonize import polygonize_dataset
+from geo_polygonize_ray.sources.fixtures import (
+    cached_image_table,
+    grid_lines,
+    linework_table,
+    random_lines,
+)
+
+
+def _poly_summary(out) -> pd.DataFrame:
+    df = out.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame({"tile_id": [], "poly_id": [], "area": [], "cx": [], "cy": [], "n_holes": []})
+    df = df[["tile_id", "poly_id", "area", "cx", "cy", "n_holes"]].copy()
+    df["area"] = np.round(df["area"], 6)
+    df["cx"] = np.round(df["cx"], 6)
+    df["cy"] = np.round(df["cy"], 6)
+    return df.sort_values(["tile_id", "area", "cx", "cy"]).reset_index(drop=True)
+
+
+def q_polygonize_grid(sf_dir: str, n: int = 30) -> pd.DataFrame:
+    """grid(N) workload (reference bench): exactly N^2 unit cells."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(linework_table(grid_lines(n)))
+    out = polygonize_dataset(ds, PipelineConfig(node_input=True))
+    return _poly_summary(out)
+
+
+def q_polygonize_random(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """random(K) segment soup (reference bench), numpy seed 42 goldens."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(linework_table(random_lines(k, seed=42)))
+    out = polygonize_dataset(ds, PipelineConfig(node_input=True))
+    return _poly_summary(out)
+
+
+def q_polygonize_tiled(sf_dir: str, n: int = 20, tile_size: float = 6.0, buffer: float = 4.0) -> pd.DataFrame:
+    """Tiled distributed polygonize of grid(N) — must equal the untiled
+    result (asserted in tests); exposed so the driver records the row count."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(linework_table(grid_lines(n)))
+    cfg = PipelineConfig(tile_size=tile_size, tile_buffer=buffer)
+    out = polygonize_dataset(ds, cfg, bbox=(0.0, 0.0, float(n), float(n)))
+    return _poly_summary(out)
+
+
+def q_image_roundtrip(sf_dir: str, n_images: int = 96) -> pd.DataFrame:
+    """Flagship image pipeline summary over a deterministic synthetic tile
+    table (input_hint schema; the sf dir seeds the scale only)."""
+    path = cached_image_table(n_images)
+    df = image_roundtrip_pipeline(path, batch_size=32).to_pandas()
+    df = df[["image_id", "n_polys", "total_area", "psnr_db", "phash_ok", "roundtrip_ok"]].copy()
+    df["total_area"] = np.round(df["total_area"], 6)
+    return df.sort_values("image_id").reset_index(drop=True)

@@ -18,10 +18,10 @@ import pyarrow as pa
 import ray.data as rd
 
 from geo_polygonize_ray.config import PipelineConfig
-from geo_polygonize_ray.local.polygonize import polygonize_segments
+from geo_polygonize_ray.local.polygonize import assemble_polygons, trace_rings
 from geo_polygonize_ray.raster.codec import decode_image, psnr
 from geo_polygonize_ray.raster.phash import phash64
-from geo_polygonize_ray.raster.rasterize import rasterize_polygons
+from geo_polygonize_ray.raster.rasterize import rasterize_faces
 from geo_polygonize_ray.raster.vectorize import labels_to_linework, rgb_to_labels
 from geo_polygonize_ray.stages.trace import polygons_to_table
 
@@ -67,10 +67,13 @@ class ImageRoundtrip:
             img = decode_image(blobs[i], int(ws[i]), int(hs[i]), fmts[i])
             phash_ok[i] = phash64(img) == int(hashes[i])
             x0, y0, x1, y1 = labels_to_linework(rgb_to_labels(img))
-            polys = polygonize_segments(x0, y0, x1, y1)
+            fx, fy, offs = trace_rings(x0, y0, x1, y1)
+            polys = assemble_polygons(fx, fy, offs)
             n_polys[i] = len(polys)
             total_area[i] = float(sum(p.area for p in polys))
-            recon = rasterize_polygons(polys, img)
+            # reconstruction uses the face decomposition (exact); polygon
+            # assembly keeps reference parity for the stats/polygons output
+            recon = rasterize_faces(fx, fy, offs, img)
             p = psnr(img, recon)
             psnr_db[i] = p
             roundtrip_ok[i] = p >= self.psnr_threshold_db

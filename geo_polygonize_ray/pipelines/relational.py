@@ -1,0 +1,411 @@
+"""Relational pipelines over the TPC-H-ish test tables, each paired with an
+ANSI-SQL oracle (see __ray_entry__.oracle_sql) for the driver's DuckDB
+correctness gate.
+
+Patterns demonstrated (the generic data-processing capability surface):
+  * column-pruned reads (`columns=[...]`)
+  * vectorized pyarrow.compute filters/projections inside map_batches
+  * partial (map-side) aggregation before the groupby shuffle
+  * broadcast joins for small dimension tables (ray.put + per-batch lookup)
+  * hash-partitioned large-large joins (Dataset.join)
+  * sort / top-k on small aggregate results
+
+Float aggregates are rounded to 4 decimals in BOTH the Ray pipeline and the
+SQL oracle so the driver's value-hash comparison is robust to summation
+order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+
+def _read(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def r4(x):
+    return np.round(np.asarray(x, dtype=np.float64), 4)
+
+
+# ---------------------------------------------------------------------------
+# q1: pricing summary — partial aggregation before the groupby shuffle
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    cutoff = pd.Timestamp("1998-09-02")
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], pa.scalar(cutoff)))
+        df = batch.select(
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]
+        ).to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                n_rows=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    from ray.data.aggregate import Sum
+
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = r4(out[c])
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4)                          AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4)                     AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
+       COUNT(*)                                           AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q3: segment revenue top-k — broadcast semi-join of small dimensions
+# ---------------------------------------------------------------------------
+
+
+def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].tolist())
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    cutoff = pd.Timestamp("1995-03-15")
+    sel = orders[(orders["o_custkey"].isin(keys)) & (orders["o_orderdate"] < cutoff)]
+    okeys_ref = ray.put(set(sel["o_orderkey"].tolist()))
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        okeys = ray.get(okeys_ref)
+        df = batch.to_pandas()
+        df = df[df["l_orderkey"].isin(okeys) & (df["l_shipdate"] > cutoff)]
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+    from ray.data.aggregate import Sum
+
+    out = (
+        li.map_batches(revenue, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = r4(out["revenue"])
+    out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
+
+
+Q3_SQL = """
+SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q5: revenue by nation — chained broadcast lookups through the star schema
+# ---------------------------------------------------------------------------
+
+
+def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    region = _read(sf_dir, "region").to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    rkeys = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    nat_by_key = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nat_by_key)]
+    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+    orders = orders[orders["o_custkey"].isin(cust_nation)]
+    order_nation_ref = ray.put(
+        dict(zip(orders["o_orderkey"], orders["o_custkey"].map(cust_nation)))
+    )
+    nat_name_ref = ray.put(nat_by_key)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        order_nation = ray.get(order_nation_ref)
+        names = ray.get(nat_name_ref)
+        df = batch.to_pandas()
+        df["nkey"] = df["l_orderkey"].map(order_nation)
+        df = df.dropna(subset=["nkey"])
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        df["n_name"] = df["nkey"].astype(np.int64).map(names)
+        g = df.groupby("n_name", as_index=False).agg(revenue=("revenue", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    from ray.data.aggregate import Sum
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = r4(out["revenue"])
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+Q5_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM region JOIN nation   ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders   ON o_custkey   = c_custkey
+            JOIN lineitem ON l_orderkey  = o_orderkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# filter + project (pure map_batches, no shuffle)
+# ---------------------------------------------------------------------------
+
+
+def q_filter_project(sf_dir: str) -> pd.DataFrame:
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["l_quantity"], 45.0))
+        rev = pc.round(
+            pc.multiply(batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"])),
+            ndigits=4,
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_linenumber": batch["l_linenumber"],
+                "l_quantity": batch["l_quantity"],
+                "revenue": rev,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow").to_pandas()
+
+
+Q_FILTER_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue
+FROM lineitem WHERE l_quantity > 45
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct (shuffle dedup) + sort/top-k + having
+# ---------------------------------------------------------------------------
+
+
+def q_distinct_brands(sf_dir: str) -> pd.DataFrame:
+    # multi-column DISTINCT = groupby(keys) with a dropped count — map-side
+    # batch dedup first so the shuffle carries only distinct pairs per block
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_size"])
+    ds = ds.map_batches(
+        lambda df: df.drop_duplicates(["p_brand", "p_size"]), batch_format="pandas"
+    )
+    out = ds.groupby(["p_brand", "p_size"]).aggregate(Count(alias_name="_n")).to_pandas()
+    df = out.drop(columns=["_n"])
+    return df.sort_values(["p_brand", "p_size"]).reset_index(drop=True)
+
+
+Q_DISTINCT_SQL = "SELECT DISTINCT p_brand, p_size FROM part ORDER BY p_brand, p_size"
+
+
+def q_top_orders_by_price(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20).to_pandas()
+    out["o_totalprice"] = r4(out["o_totalprice"])
+    return out
+
+
+Q_TOPK_SQL = """
+SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q_busy_customers(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey"])
+    g = ds.groupby("o_custkey").aggregate(Count(alias_name="n_orders")).to_pandas()
+    g = g[g["n_orders"] >= 15].sort_values(["n_orders", "o_custkey"], ascending=[False, True])
+    g["n_orders"] = g["n_orders"].astype(np.int64)
+    return g.reset_index(drop=True)
+
+
+Q_HAVING_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+GROUP BY o_custkey HAVING COUNT(*) >= 15
+ORDER BY n_orders DESC, o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# large-large hash join via Dataset.join (the shuffle-join path)
+# ---------------------------------------------------------------------------
+
+
+def q_hash_join_order_revenue(sf_dir: str) -> pd.DataFrame:
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    rev = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    joined = rev.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    g = (
+        joined.groupby("o_orderstatus")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    g["revenue"] = r4(g["revenue"])
+    return g.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+Q_HASH_JOIN_SQL = """
+SELECT o_orderstatus, ROUND(SUM(rev), 4) AS revenue
+FROM (
+  SELECT l_orderkey, SUM(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY l_orderkey
+) r JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: tumbling window aggregate (streaming-shaped, SURVEY.md §2.7 note)
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour_bucket"] = (df["ts"].astype("int64") // 3_600_000_000).astype(np.int64)
+        g = df.groupby(["event_type", "hour_bucket"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_value"] = r4(out["sum_value"])
+    return out.sort_values(["event_type", "hour_bucket"]).reset_index(drop=True)
+
+
+Q_EVENTS_SQL = """
+SELECT event_type,
+       CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY event_type, hour_bucket
+ORDER BY event_type, hour_bucket
+"""
+
+
+def q_events_user_stats(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    out = (
+        ds.groupby("user_id")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+            Max("value", alias_name="max_value"),
+        )
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["sum_value"] = r4(out["sum_value"])
+    out["max_value"] = r4(out["max_value"])
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q_EVENTS_USER_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""

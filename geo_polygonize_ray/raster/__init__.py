@@ -1,7 +1,7 @@
 from geo_polygonize_ray.raster.codec import decode_image, encode_image, psnr
 from geo_polygonize_ray.raster.phash import phash64
 from geo_polygonize_ray.raster.vectorize import labels_to_linework, rgb_to_labels
-from geo_polygonize_ray.raster.rasterize import rasterize_polygons
+from geo_polygonize_ray.raster.rasterize import rasterize_faces, rasterize_polygons
 
 __all__ = [
     "decode_image",
@@ -10,5 +10,6 @@ __all__ = [
     "phash64",
     "labels_to_linework",
     "rgb_to_labels",
+    "rasterize_faces",
     "rasterize_polygons",
 ]

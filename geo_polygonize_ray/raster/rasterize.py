@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from geo_polygonize_ray.geom.kernels import points_in_ring
+from geo_polygonize_ray.geom.kernels import points_in_ring, signed_area_many
 from geo_polygonize_ray.local.polygonize import Polygon
 
 
@@ -42,6 +42,57 @@ def rasterize_polygons(
     if not filled.all():
         out[~filled] = source[~filled]
     return out
+
+
+def rasterize_faces(
+    flat_x: np.ndarray, flat_y: np.ndarray, offsets: np.ndarray, source: np.ndarray
+) -> np.ndarray:
+    """Reconstruct the image from traced edge rings via the FACE
+    decomposition: a pixel belongs to the smallest-area CW ring containing
+    its center (face outer rings are simple closed curves sharing edges but
+    never crossing, so their interiors form a laminar family and
+    smallest-container = the pixel's face).
+
+    This is the exact reconstruction path: polygon *assembly* (hole
+    assignment by centroid PIP, reference src/polygonizer.rs:199-249) can
+    misassign holes of concave faces — a limitation inherited from the
+    reference — so the round-trip invariant is checked against faces, which
+    are unambiguous.
+    """
+    h, w, _ = source.shape
+    areas = signed_area_many(flat_x, flat_y, offsets)
+    cw = np.flatnonzero(areas < -1e-9)
+    order = cw[np.argsort(-np.abs(areas[cw]), kind="stable")]  # big -> small
+    owner = np.full((h, w), -1, dtype=np.int64)
+    for r in order:
+        s, e = offsets[r], offsets[r + 1]
+        mask = _ring_mask(flat_x[s:e], flat_y[s:e], w, h)
+        owner[mask] = r
+    out = np.zeros_like(source)
+    for r in order:
+        m = owner == r
+        if not m.any():
+            continue
+        ys, xs = np.nonzero(m)
+        out[m] = source[ys[0], xs[0]]
+    unowned = owner == -1
+    if unowned.any():
+        out[unowned] = source[unowned]
+    return out
+
+
+def _ring_mask(rx: np.ndarray, ry: np.ndarray, w: int, h: int) -> np.ndarray:
+    minx = max(int(np.floor(rx.min())), 0)
+    maxx = min(int(np.ceil(rx.max())), w)
+    miny = max(int(np.floor(ry.min())), 0)
+    maxy = min(int(np.ceil(ry.max())), h)
+    mask = np.zeros((h, w), dtype=bool)
+    if minx >= maxx or miny >= maxy:
+        return mask
+    gx, gy = np.meshgrid(np.arange(minx, maxx) + 0.5, np.arange(miny, maxy) + 0.5)
+    inside = points_in_ring(gx.ravel(), gy.ravel(), rx, ry)
+    mask[miny:maxy, minx:maxx] = inside.reshape(maxy - miny, maxx - minx)
+    return mask
 
 
 def _poly_mask(poly: Polygon, w: int, h: int) -> np.ndarray:

@@ -3,14 +3,14 @@
 import numpy as np
 import pytest
 
-from geo_polygonize_ray.local import polygonize_lines
-from geo_polygonize_ray.local.polygonize import polygonize_segments
+from geo_polygonize_ray.local.polygonize import polygonize_segments, trace_rings
 from geo_polygonize_ray.raster import (
     decode_image,
     encode_image,
     labels_to_linework,
     phash64,
     psnr,
+    rasterize_faces,
     rasterize_polygons,
     rgb_to_labels,
 )
@@ -62,16 +62,20 @@ class TestPhash:
 
 
 class TestVectorizeRoundtrip:
-    @pytest.mark.parametrize("i", [0, 1, 2, 3, 4, 5, 10, 17])
+    @pytest.mark.parametrize("i", list(range(24)) + [71, 116])
     def test_scene_roundtrip_exact(self, i):
-        """decode -> vectorize -> polygonize -> rasterize == original."""
+        """decode -> vectorize -> trace -> rasterize faces == original.
+
+        71 and 116 are regression scenes: concave faces whose centroid-based
+        hole assignment (reference semantics) misplaces holes — the
+        face-based reconstruction must still be exact."""
         img, scene, _ = make_scene(i)
         labels = rgb_to_labels(img)
         x0, y0, x1, y1 = labels_to_linework(labels)
         # linework is exactly noded -> no snapping pass needed
-        polys = polygonize_segments(x0, y0, x1, y1)
-        assert len(polys) >= 1
-        out = rasterize_polygons(polys, img)
+        fx, fy, offs = trace_rings(x0, y0, x1, y1)
+        assert len(offs) >= 2
+        out = rasterize_faces(fx, fy, offs, img)
         assert np.array_equal(out, img), f"roundtrip failed for scene {scene} #{i}"
 
     def test_single_color_image(self):
