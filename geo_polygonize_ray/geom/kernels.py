@@ -216,22 +216,31 @@ def pseudo_angle_within_quadrant(dx: np.ndarray, dy: np.ndarray, q: np.ndarray) 
 def points_in_ring(px: np.ndarray, py: np.ndarray, ring_x: np.ndarray, ring_y: np.ndarray) -> np.ndarray:
     """Crossing-parity PIP of many points against one closed ring.
 
-    Same crossing rule as the reference's SimdRing::contains
-    (src/utils/simd.rs:70-71):
+    Same crossing rule (incl. the float division, for bit-parity) as the
+    reference's SimdRing::contains (src/utils/simd.rs:70-71):
         (y_i > p_y) != (y_j > p_y)  and  p_x < (x_j-x_i)*(p_y-y_i)/(y_j-y_i) + x_i
-    numpy vectorizes across points x segments, wider than the 4-lane SIMD.
+    numpy vectorizes across points x segments, wider than the 4-lane SIMD;
+    the point axis is chunked so the broadcast temporaries stay cache-sized.
     """
-    px = np.asarray(px, dtype=np.float64)[:, None]
-    py = np.asarray(py, dtype=np.float64)[:, None]
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
     xi = np.asarray(ring_x, dtype=np.float64)[None, :-1]
     yi = np.asarray(ring_y, dtype=np.float64)[None, :-1]
     xj = np.asarray(ring_x, dtype=np.float64)[None, 1:]
     yj = np.asarray(ring_y, dtype=np.float64)[None, 1:]
-    in_range = (yi > py) != (yj > py)
+    n = len(px)
+    nseg = xi.shape[1]
+    out = np.empty(n, dtype=bool)
+    chunk = max(1, (1 << 20) // max(nseg, 1))
     with np.errstate(divide="ignore", invalid="ignore"):
-        ix = (xj - xi) * (py - yi) / (yj - yi) + xi
-    crossing = in_range & (px < ix)
-    return (crossing.sum(axis=1) % 2).astype(bool)
+        for s in range(0, n, chunk):
+            cpx = px[s : s + chunk, None]
+            cpy = py[s : s + chunk, None]
+            in_range = (yi > cpy) != (yj > cpy)
+            ix = (xj - xi) * (cpy - yi) / (yj - yi) + xi
+            crossing = in_range & (cpx < ix)
+            out[s : s + chunk] = (crossing.sum(axis=1) % 2).astype(bool)
+    return out
 
 
 def point_in_ring(px: float, py: float, ring_x: np.ndarray, ring_y: np.ndarray) -> bool:

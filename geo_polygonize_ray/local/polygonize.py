@@ -24,6 +24,7 @@ import numpy as np
 from geo_polygonize_ray.geom.kernels import (
     points_in_ring,
     ring_centroid,
+    ring_centroid_many,
     signed_area,
     signed_area_many,
     bbox_many,
@@ -170,9 +171,8 @@ def assemble_polygons(flat_x: np.ndarray, flat_y: np.ndarray, offsets: np.ndarra
         return []
     areas = signed_area_many(flat_x, flat_y, offsets)
     keep = np.abs(areas) >= 1e-9
-    ring_ids = np.flatnonzero(keep)
-    shell_ids = [int(r) for r in ring_ids if areas[r] > 0]
-    hole_ids = [int(r) for r in ring_ids if areas[r] < 0]
+    shell_ids = np.flatnonzero(keep & (areas > 0))
+    hole_ids = np.flatnonzero(keep & (areas < 0))
 
     def ring(r: int) -> tuple[np.ndarray, np.ndarray]:
         s, e = offsets[r], offsets[r + 1]
@@ -183,68 +183,82 @@ def assemble_polygons(flat_x: np.ndarray, flat_y: np.ndarray, offsets: np.ndarra
     # --- promotion anti-join (src/polygonizer.rs:151-185) ------------------
     # keyed scan instead of the reference's O(H*S) loop: bucket shells by
     # bit-exact bbox; within a bucket compare |area| within 1e-6.
-    shells: list[int] = list(shell_ids)  # ring ids; promoted entries appended after
-    promoted: list[int] = []
     bbox_key: dict[tuple, list[float]] = {}
     for s in shell_ids:
-        key = (minx[s], miny[s], maxx[s], maxy[s])
-        bbox_key.setdefault(key, []).append(abs(areas[s]))
-    for h in hole_ids:
-        key = (minx[h], miny[h], maxx[h], maxy[h])
-        ha = abs(areas[h])
-        twins = bbox_key.get(key)
-        if twins is None or not any(abs(sa - ha) < 1e-6 for sa in twins):
-            promoted.append(h)
-    shells.extend(promoted)
-    promoted_set = set(promoted)
-
-    # shell ring coords (promoted ones rewound CCW, src/polygonizer.rs:165-168)
-    shell_rings: list[tuple[np.ndarray, np.ndarray]] = []
-    for s in shells:
-        rx, ry = ring(s)
-        if s in promoted_set:
-            rx, ry = rx[::-1].copy(), ry[::-1].copy()
-        shell_rings.append((rx, ry))
-    shell_areas = np.array([abs(areas[s]) for s in shells])
-    s_minx = np.array([minx[s] for s in shells])
-    s_miny = np.array([miny[s] for s in shells])
-    s_maxx = np.array([maxx[s] for s in shells])
-    s_maxy = np.array([maxy[s] for s in shells])
-
-    # --- hole assignment (src/polygonizer.rs:199-249) ----------------------
-    assignments: dict[int, list[int]] = {}
-    for h in hole_ids:
-        hx, hy = ring(h)
-        cx, cy = ring_centroid(hx, hy)
-        ha = abs(areas[h])
-        # bbox candidate filter (the R-tree envelope query)
-        cand = np.flatnonzero(
-            (s_minx <= maxx[h]) & (s_maxx >= minx[h]) & (s_miny <= maxy[h]) & (s_maxy >= miny[h])
+        bbox_key.setdefault((minx[s], miny[s], maxx[s], maxy[s]), []).append(abs(areas[s]))
+    promoted = [
+        int(h)
+        for h in hole_ids
+        if not any(
+            abs(sa - abs(areas[h])) < 1e-6
+            for sa in bbox_key.get((minx[h], miny[h], maxx[h], maxy[h]), ())
         )
-        best = -1
-        best_area = np.inf
-        for si in cand:
+    ]
+    shells = np.concatenate([shell_ids, np.array(promoted, dtype=np.int64)]).astype(np.int64)
+    n_orig = len(shell_ids)
+
+    shell_areas = np.abs(areas[shells])
+
+    # --- hole assignment (src/polygonizer.rs:199-249), batched -------------
+    # Equivalent restatement of "min-area shell that PIP-contains the hole
+    # centroid and has area > hole_area + 1e-6": process shells in ascending
+    # area order and give each still-unassigned eligible hole its first hit.
+    # The per-shell PIP runs over ALL its candidate centroids at once, and a
+    # sorted-areas searchsorted short-circuit skips shells with no
+    # area-eligible hole in O(log H).
+    cx_all, cy_all = ring_centroid_many(flat_x, flat_y, offsets)
+    n_h = len(hole_ids)
+    assigned = np.full(n_h, -1, dtype=np.int64)
+    if n_h:
+        h_area = np.abs(areas[hole_ids])
+        h_cx = cx_all[hole_ids]
+        h_cy = cy_all[hole_ids]
+        area_order = np.argsort(h_area, kind="stable")
+        sorted_h_area = h_area[area_order]
+        shell_order = np.argsort(shell_areas, kind="stable")
+        for si in shell_order:
             sa = shell_areas[si]
-            if sa > ha + 1e-6 and sa < best_area:
-                sx, sy = shell_rings[si]
-                if points_in_ring(np.array([cx]), np.array([cy]), sx, sy)[0]:
-                    best = int(si)
-                    best_area = sa
-        if best >= 0:
-            assignments.setdefault(best, []).append(h)
+            n_elig = int(np.searchsorted(sorted_h_area, sa - 1e-6, side="left"))
+            if n_elig == 0:
+                continue
+            cand = area_order[:n_elig]
+            cand = cand[assigned[cand] == -1]
+            if len(cand) == 0:
+                continue
+            rid = shells[si]
+            inb = (
+                (h_cx[cand] >= minx[rid])
+                & (h_cx[cand] <= maxx[rid])
+                & (h_cy[cand] >= miny[rid])
+                & (h_cy[cand] <= maxy[rid])
+            )
+            cand = cand[inb]
+            if len(cand) == 0:
+                continue
+            rx, ry = ring(rid)
+            hit = points_in_ring(h_cx[cand], h_cy[cand], rx, ry)
+            assigned[cand[hit]] = si
 
     # --- assemble (src/polygonizer.rs:246-261) -----------------------------
+    hole_lists: dict[int, list[int]] = {}
+    for hi in range(n_h):
+        if assigned[hi] >= 0:
+            hole_lists.setdefault(int(assigned[hi]), []).append(int(hole_ids[hi]))
+
     result: list[Polygon] = []
-    for si, (sx, sy) in enumerate(shell_rings):
-        holes = assignments.get(si, [])
-        hx = []
-        hy = []
+    for si in range(len(shells)):
+        rid = int(shells[si])
+        rx, ry = ring(rid)
+        if si >= n_orig:  # promoted: rewind CCW (src/polygonizer.rs:165-168)
+            rx, ry = rx[::-1].copy(), ry[::-1].copy()
+        holes = hole_lists.get(si, [])
         residual = shell_areas[si]
+        hx, hy = [], []
         for h in holes:
-            rx, ry = ring(h)
-            hx.append(rx)
-            hy.append(ry)
+            ax, ay = ring(h)
+            hx.append(ax)
+            hy.append(ay)
             residual -= abs(areas[h])
         if abs(residual) > 1e-6:
-            result.append(Polygon(sx, sy, hx, hy))
+            result.append(Polygon(rx, ry, hx, hy))
     return result
