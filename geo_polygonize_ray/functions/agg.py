@@ -1,0 +1,60 @@
+"""Hash-bucketed aggregation — the high-cardinality groupby pattern.
+
+Ray Data's ``groupby(key).aggregate(...)`` pays a per-GROUP Python overhead
+(~2.7 ms/group in Ray 2.49 regardless of shuffle strategy), which makes a
+15k-key aggregate take ~40 s.  The scalable pattern — and the one a 100 TB
+pipeline needs anyway to bound shuffle partition sizes — is:
+
+  1. map-side: add ``_bucket = hash(key) % B`` (B ~ 2x cores, LOW cardinality)
+  2. ONE shuffle on ``_bucket``
+  3. per-bucket: the actual per-key aggregation runs in pandas (C speed)
+     inside ``map_groups``
+
+Every key lands in exactly one bucket, so per-key results are exact.  Skew:
+a single hot key cannot be split by this scheme (same as any hash
+partitioning); callers with known-hot keys should pre-aggregate map-side
+first (see relational.q1) so the shuffle carries partials, not rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+
+import ray.data as rd
+
+DEFAULT_BUCKETS = 64
+
+
+def bucketed_groupby(
+    ds: rd.Dataset,
+    key_cols: list[str] | str,
+    per_key_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> rd.Dataset:
+    """Exact per-key aggregation via low-cardinality hash bucketing.
+
+    ``per_key_fn`` receives one bucket's rows (a pandas DataFrame containing
+    every row of every key hashing into the bucket, ``_bucket`` column
+    already dropped) and must itself group by the key column(s) and return
+    the per-key result rows.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch[key_cols], index=False).to_numpy()
+        batch = batch.copy()
+        batch["_bucket"] = (h % n_buckets).astype("int64")
+        return batch
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return per_key_fn(group.drop(columns=["_bucket"]))
+
+    per_bucket.__name__ = getattr(per_key_fn, "__name__", "per_bucket")
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -224,12 +224,14 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring_x: np.ndarray, ring_y: n
     """
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
+    n = len(px)
+    nseg = len(ring_x) - 1
+    if n * nseg > (1 << 16) and n > 8:
+        return _points_in_ring_inverted(px, py, ring_x, ring_y)
     xi = np.asarray(ring_x, dtype=np.float64)[None, :-1]
     yi = np.asarray(ring_y, dtype=np.float64)[None, :-1]
     xj = np.asarray(ring_x, dtype=np.float64)[None, 1:]
     yj = np.asarray(ring_y, dtype=np.float64)[None, 1:]
-    n = len(px)
-    nseg = xi.shape[1]
     out = np.empty(n, dtype=bool)
     chunk = max(1, (1 << 20) // max(nseg, 1))
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -241,6 +243,37 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring_x: np.ndarray, ring_y: n
             crossing = in_range & (cpx < ix)
             out[s : s + chunk] = (crossing.sum(axis=1) % 2).astype(bool)
     return out
+
+
+def _points_in_ring_inverted(px, py, ring_x, ring_y) -> np.ndarray:
+    """Segment-major PIP: points sorted by y once, then each segment only
+    touches the points inside its y-span (searchsorted range).  Identical
+    crossing rule and float math as the dense path; total work is
+    sum(points-in-y-span) instead of n_points * n_segments.
+    """
+    xi = np.asarray(ring_x, dtype=np.float64)[:-1]
+    yi = np.asarray(ring_y, dtype=np.float64)[:-1]
+    xj = np.asarray(ring_x, dtype=np.float64)[1:]
+    yj = np.asarray(ring_y, dtype=np.float64)[1:]
+    n = len(px)
+    order = np.argsort(py, kind="stable")
+    spy = py[order]
+    spx = px[order]
+    crossings = np.zeros(n, dtype=np.int64)
+    # crossing rule (yi > py) != (yj > py) <=> min(yi,yj) <= py < max(yi,yj)
+    ylo = np.minimum(yi, yj)
+    yhi = np.maximum(yi, yj)
+    lo_idx = np.searchsorted(spy, ylo, side="left")
+    hi_idx = np.searchsorted(spy, yhi, side="left")
+    active = np.flatnonzero(hi_idx > lo_idx)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for s in active:
+            a, b = lo_idx[s], hi_idx[s]
+            cpy = spy[a:b]
+            ix = (xj[s] - xi[s]) * (cpy - yi[s]) / (yj[s] - yi[s]) + xi[s]
+            hit = spx[a:b] < ix
+            np.add.at(crossings, order[a:b][hit], 1)
+    return (crossings % 2).astype(bool)
 
 
 def point_in_ring(px: float, py: float, ring_x: np.ndarray, ring_y: np.ndarray) -> bool:

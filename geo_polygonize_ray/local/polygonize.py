@@ -154,8 +154,9 @@ def polygonize_segments(x0, y0, x1, y1) -> list[Polygon]:
     return assemble_polygons(flat_x, flat_y, offsets)
 
 
-def assemble_polygons(flat_x: np.ndarray, flat_y: np.ndarray, offsets: np.ndarray) -> list[Polygon]:
-    """Phases 5-8: classify, promote, assign holes, assemble.
+def _assemble_core(flat_x: np.ndarray, flat_y: np.ndarray, offsets: np.ndarray):
+    """Phases 5-7: classify, promote, assign holes (shared by the object and
+    flat-array assembly paths).
 
     Exact reference semantics:
       * |area| < 1e-9 rings dropped as degenerate   (src/polygonizer.rs:138)
@@ -163,12 +164,12 @@ def assemble_polygons(flat_x: np.ndarray, flat_y: np.ndarray, offsets: np.ndarra
       * CW ring promoted to (CCW-rewound) shell iff no CCW shell with
         |area diff| < 1e-6 AND bit-identical bbox    (src/polygonizer.rs:151-185)
       * every hole assigned to the minimum-area shell that PIP-contains its
-        centroid and has area > hole_area + 1e-6     (src/polygonizer.rs:199-249)
-      * polygons with residual area <= 1e-6 dropped  (src/polygonizer.rs:256)
+      centroid and has area > hole_area + 1e-6       (src/polygonizer.rs:199-249)
+
+    Returns (shells, n_orig, shell_areas, hole_ids, assigned, areas,
+    cx_all, cy_all) where ``assigned[i]`` is the shell index owning hole i
+    (or -1).
     """
-    n_rings = len(offsets) - 1
-    if n_rings == 0:
-        return []
     areas = signed_area_many(flat_x, flat_y, offsets)
     keep = np.abs(areas) >= 1e-9
     shell_ids = np.flatnonzero(keep & (areas > 0))
@@ -203,9 +204,10 @@ def assemble_polygons(flat_x: np.ndarray, flat_y: np.ndarray, offsets: np.ndarra
     # Equivalent restatement of "min-area shell that PIP-contains the hole
     # centroid and has area > hole_area + 1e-6": process shells in ascending
     # area order and give each still-unassigned eligible hole its first hit.
-    # The per-shell PIP runs over ALL its candidate centroids at once, and a
-    # sorted-areas searchsorted short-circuit skips shells with no
-    # area-eligible hole in O(log H).
+    # Candidate holes per shell come from a uniform bucket grid over the
+    # hole centroids (the R-tree envelope query's role), so total work is
+    # sum(holes-in-shell-bbox), not O(shells x holes); a sorted-areas
+    # searchsorted short-circuit skips shells with no area-eligible hole.
     cx_all, cy_all = ring_centroid_many(flat_x, flat_y, offsets)
     n_h = len(hole_ids)
     assigned = np.full(n_h, -1, dtype=np.int64)
@@ -213,35 +215,82 @@ def assemble_polygons(flat_x: np.ndarray, flat_y: np.ndarray, offsets: np.ndarra
         h_area = np.abs(areas[hole_ids])
         h_cx = cx_all[hole_ids]
         h_cy = cy_all[hole_ids]
-        area_order = np.argsort(h_area, kind="stable")
-        sorted_h_area = h_area[area_order]
+        sorted_h_area = np.sort(h_area, kind="stable")
+
+        # bucket grid over hole centroids
+        gx0, gy0 = float(h_cx.min()), float(h_cy.min())
+        gx1, gy1 = float(h_cx.max()), float(h_cy.max())
+        B = max(1, int(np.sqrt(n_h)))
+        bw = (gx1 - gx0) / B or 1.0
+        bh = (gy1 - gy0) / B or 1.0
+        hbx = np.clip(((h_cx - gx0) / bw).astype(np.int64), 0, B - 1)
+        hby = np.clip(((h_cy - gy0) / bh).astype(np.int64), 0, B - 1)
+        hbucket = hby * B + hbx
+        border = np.argsort(hbucket, kind="stable")
+        sorted_bucket = hbucket[border]
+
+        # vectorized per-shell precompute: area short-circuit + bucket ranges
+        n_s = len(shells)
+        s_minx = minx[shells]
+        s_miny = miny[shells]
+        s_maxx = maxx[shells]
+        s_maxy = maxy[shells]
+        has_elig = np.searchsorted(sorted_h_area, shell_areas - 1e-6, side="left") > 0
+        overlaps = ~((s_maxx < gx0) | (s_minx > gx1) | (s_maxy < gy0) | (s_miny > gy1))
+        sbx0 = np.clip(np.floor((s_minx - gx0) / bw), 0, B - 1).astype(np.int64)
+        sbx1 = np.clip(np.floor((s_maxx - gx0) / bw), 0, B - 1).astype(np.int64)
+        sby0 = np.clip(np.floor((s_miny - gy0) / bh), 0, B - 1).astype(np.int64)
+        sby1 = np.clip(np.floor((s_maxy - gy0) / bh), 0, B - 1).astype(np.int64)
+
         shell_order = np.argsort(shell_areas, kind="stable")
-        for si in shell_order:
+        shell_order = shell_order[has_elig[shell_order] & overlaps[shell_order]]
+        for si in shell_order.tolist():
             sa = shell_areas[si]
-            n_elig = int(np.searchsorted(sorted_h_area, sa - 1e-6, side="left"))
-            if n_elig == 0:
-                continue
-            cand = area_order[:n_elig]
-            cand = cand[assigned[cand] == -1]
-            if len(cand) == 0:
-                continue
             rid = shells[si]
-            inb = (
-                (h_cx[cand] >= minx[rid])
-                & (h_cx[cand] <= maxx[rid])
-                & (h_cy[cand] >= miny[rid])
-                & (h_cy[cand] <= maxy[rid])
+            sx0, sy0, sx1, sy1 = s_minx[si], s_miny[si], s_maxx[si], s_maxy[si]
+            bx0, bx1 = sbx0[si], sbx1[si]
+            slices = []
+            for row in range(sby0[si], sby1[si] + 1):
+                a = np.searchsorted(sorted_bucket, row * B + bx0, side="left")
+                b = np.searchsorted(sorted_bucket, row * B + bx1, side="right")
+                if b > a:
+                    slices.append(border[a:b])
+            if not slices:
+                continue
+            cand = slices[0] if len(slices) == 1 else np.concatenate(slices)
+            m = (
+                (assigned[cand] == -1)
+                & (h_area[cand] < sa - 1e-6)
+                & (h_cx[cand] >= sx0)
+                & (h_cx[cand] <= sx1)
+                & (h_cy[cand] >= sy0)
+                & (h_cy[cand] <= sy1)
             )
-            cand = cand[inb]
+            cand = cand[m]
             if len(cand) == 0:
                 continue
             rx, ry = ring(rid)
             hit = points_in_ring(h_cx[cand], h_cy[cand], rx, ry)
             assigned[cand[hit]] = si
 
-    # --- assemble (src/polygonizer.rs:246-261) -----------------------------
+    return shells, n_orig, shell_areas, hole_ids, assigned, areas, cx_all, cy_all
+
+
+def assemble_polygons(flat_x: np.ndarray, flat_y: np.ndarray, offsets: np.ndarray) -> list[Polygon]:
+    """Phases 5-8 -> list of Polygon objects (final residual <= 1e-6 drop,
+    src/polygonizer.rs:255-257)."""
+    if len(offsets) - 1 == 0:
+        return []
+    shells, n_orig, shell_areas, hole_ids, assigned, areas, _, _ = _assemble_core(
+        flat_x, flat_y, offsets
+    )
+
+    def ring(r: int) -> tuple[np.ndarray, np.ndarray]:
+        s, e = offsets[r], offsets[r + 1]
+        return flat_x[s:e], flat_y[s:e]
+
     hole_lists: dict[int, list[int]] = {}
-    for hi in range(n_h):
+    for hi in range(len(hole_ids)):
         if assigned[hi] >= 0:
             hole_lists.setdefault(int(assigned[hi]), []).append(int(hole_ids[hi]))
 
@@ -262,3 +311,118 @@ def assemble_polygons(flat_x: np.ndarray, flat_y: np.ndarray, offsets: np.ndarra
         if abs(residual) > 1e-6:
             result.append(Polygon(rx, ry, hx, hy))
     return result
+
+
+def assemble_flat(
+    flat_x: np.ndarray,
+    flat_y: np.ndarray,
+    offsets: np.ndarray,
+    owner_rect: tuple[float, float, float, float] | None = None,
+) -> dict[str, np.ndarray]:
+    """Phases 5-8 as flat numpy arrays (Arrow-ready, zero per-polygon Python).
+
+    Output dict: shell_values_x/y + shell_offsets (one ring per polygon),
+    hole_values_x/y + hole_ring_offsets + poly_hole_offsets (list<list>),
+    area (residual), cx, cy (shell-ring centroid), n_holes.
+
+    ``owner_rect`` applies the tiling sliver + half-open [min,max)
+    centroid-ownership filter (src/tiling.rs:95-106).  NOTE: ownership and
+    the emitted centroid use the SHELL-ring centroid; the reference's
+    ``poly.centroid()`` includes holes, which can shift the probe point for
+    hole-bearing polygons near tile edges — both rules are deterministic
+    exactly-once partitions, and distributed==local equivalence is asserted
+    in tests under the buffer contract.
+    """
+    empty = dict(
+        shell_values_x=np.empty(0),
+        shell_values_y=np.empty(0),
+        shell_offsets=np.zeros(1, dtype=np.int64),
+        hole_values_x=np.empty(0),
+        hole_values_y=np.empty(0),
+        hole_ring_offsets=np.zeros(1, dtype=np.int64),
+        poly_hole_offsets=np.zeros(1, dtype=np.int64),
+        area=np.empty(0),
+        cx=np.empty(0),
+        cy=np.empty(0),
+        n_holes=np.empty(0, dtype=np.int64),
+    )
+    if len(offsets) - 1 == 0:
+        return empty
+    shells, n_orig, shell_areas, hole_ids, assigned, areas, cx_all, cy_all = _assemble_core(
+        flat_x, flat_y, offsets
+    )
+    n_s = len(shells)
+    if n_s == 0:
+        return empty
+
+    # residual area per shell (scatter-subtract assigned hole areas)
+    residual = shell_areas.copy()
+    valid_h = assigned >= 0
+    if valid_h.any():
+        np.subtract.at(residual, assigned[valid_h], np.abs(areas[hole_ids[valid_h]]))
+
+    keep = np.abs(residual) > 1e-6  # src/polygonizer.rs:256
+    s_cx = cx_all[shells]
+    s_cy = cy_all[shells]
+    if owner_rect is not None:
+        tx0, ty0, tx1, ty1 = owner_rect
+        keep &= (s_cx >= tx0) & (s_cx < tx1) & (s_cy >= ty0) & (s_cy < ty1)
+
+    kept_idx = np.flatnonzero(keep)
+    n_p = len(kept_idx)
+    if n_p == 0:
+        return empty
+    rids = shells[kept_idx]
+
+    # --- shell coords gather (promoted rings reversed, vectorized) ---------
+    starts = offsets[rids]
+    ends = offsets[rids + 1]
+    lens = ends - starts
+    shell_offsets = np.concatenate([[0], np.cumsum(lens)])
+    promoted_mask = kept_idx >= n_orig
+    base = np.where(promoted_mask, ends - 1, starts)
+    step = np.where(promoted_mask, -1, 1)
+    pos = np.arange(shell_offsets[-1]) - np.repeat(shell_offsets[:-1], lens)
+    gather = np.repeat(base, lens) + np.repeat(step, lens) * pos
+    shell_vx = flat_x[gather]
+    shell_vy = flat_y[gather]
+
+    # --- holes (grouped by owning kept polygon, vectorized) ----------------
+    # map shell index -> kept polygon position (-1 when dropped: its holes
+    # vanish with it, matching the reference's dropped-polygon behavior)
+    shell_to_poly = np.full(n_s, -1, dtype=np.int64)
+    shell_to_poly[kept_idx] = np.arange(n_p)
+    h_poly = np.where(valid_h, shell_to_poly[np.where(valid_h, assigned, 0)], -1)
+    hv = np.flatnonzero(h_poly >= 0)
+    if len(hv):
+        h_order = hv[np.argsort(h_poly[hv], kind="stable")]
+        h_rids = hole_ids[h_order]
+        h_starts = offsets[h_rids]
+        h_lens = offsets[h_rids + 1] - h_starts
+        hole_ring_offsets = np.concatenate([[0], np.cumsum(h_lens)])
+        h_pos = np.arange(hole_ring_offsets[-1]) - np.repeat(hole_ring_offsets[:-1], h_lens)
+        h_gather = np.repeat(h_starts, h_lens) + h_pos
+        hole_vx = flat_x[h_gather]
+        hole_vy = flat_y[h_gather]
+        n_holes = np.bincount(h_poly[hv], minlength=n_p).astype(np.int64)
+        poly_hole_offsets = np.concatenate([[0], np.cumsum(n_holes)])
+    else:
+        hole_vx = np.empty(0)
+        hole_vy = np.empty(0)
+        hole_ring_offsets = np.zeros(1, dtype=np.int64)
+        n_holes = np.zeros(n_p, dtype=np.int64)
+        poly_hole_offsets = np.zeros(n_p + 1, dtype=np.int64)
+
+    return dict(
+        shell_values_x=shell_vx,
+        shell_values_y=shell_vy,
+        shell_offsets=shell_offsets.astype(np.int64),
+        hole_values_x=hole_vx,
+        hole_values_y=hole_vy,
+        hole_ring_offsets=hole_ring_offsets.astype(np.int64),
+        poly_hole_offsets=poly_hole_offsets.astype(np.int64),
+        area=np.abs(residual[kept_idx]),
+        cx=s_cx[kept_idx],
+        cy=s_cy[kept_idx],
+        n_holes=n_holes,
+    )

@@ -44,14 +44,23 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _query_vector(sf_dir: str, query_vec_id: int) -> np.ndarray:
+    """Driver-side point lookup of one embedding (pyarrow row-group filter —
+    a tiny indexed read, not a Ray job)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", query_vec_id)],
+    )
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+
+
 def q_ann_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataFrame:
     """Exact cosine top-k vs the embedding of ``query_vec_id``."""
-    qrow = (
-        _read(sf_dir, "embeddings")
-        .filter(lambda r: r["vec_id"] == query_vec_id)
-        .take(1)
-    )
-    q = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+    q = _query_vector(sf_dir, query_vec_id)
     q = q / np.linalg.norm(q)
     q_ref = ray.put(q)
 
@@ -114,8 +123,7 @@ def q_ann_ivf(
     cent = _train_centroids(sm, n_centroids)
     cent_ref = ray.put(cent)
 
-    qrow = ds.filter(lambda r: r["vec_id"] == query_vec_id).take(1)
-    q = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+    q = _query_vector(sf_dir, query_vec_id)
     q = q / np.linalg.norm(q)
     probes = set(np.argsort(-(cent @ q))[:n_probe].tolist())
     probes_ref = ray.put(probes)

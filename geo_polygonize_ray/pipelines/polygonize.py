@@ -98,6 +98,23 @@ def polygonize_dataset(
     keep_cols = [c for c in ("plane_id", "line_id", "xs", "ys") if c in ds.schema().names]
     ds = ds.select_columns(keep_cols)  # never shuffle payload columns
     ds = ds.map_batches(assigner, batch_format="pyarrow", batch_size=cfg.batch_size)
+    # Shuffle key = bucket of tiles, NOT raw tile_id: Ray pays a per-group
+    # Python overhead in map_groups, so thousands of tiles are folded into
+    # ~4x cores buckets and split back apart inside the tracer (which still
+    # polygonizes each tile independently).  Parallelism of the sort/groupby
+    # follows block count, hence the repartition first.
+    import ray
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_tiles = assigner.n_cols * assigner.n_rows
+    n_buckets = max(2, min(n_tiles, n_cpus * 4))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (t["tile_id"].to_numpy() % n_buckets).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    ds = ds.repartition(max(2, min(n_buckets, n_cpus * 2)))
     tracer = TilePolygonizer(
         assigner,
         node_input=True,  # per-tile noding, src/tiling.rs:62-63
@@ -105,7 +122,8 @@ def polygonize_dataset(
         max_noding_iters=cfg.max_noding_iters,
         ownership=True,
     )
-    return ds.groupby("tile_id").map_groups(tracer, batch_format="pyarrow")
+    out = ds.groupby("bucket").map_groups(tracer, batch_format="pyarrow")
+    return out
 
 
 def polygonize_lines_distributed(

@@ -127,14 +127,14 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     li = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     )
-    from ray.data.aggregate import Sum
+    from geo_polygonize_ray.functions import bucketed_groupby
 
-    out = (
-        li.map_batches(revenue, batch_format="pyarrow", batch_size=65536)
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
-        .to_pandas()
-    )
+    partials = li.map_batches(revenue, batch_format="pyarrow", batch_size=65536)
+    out = bucketed_groupby(
+        partials,
+        "l_orderkey",
+        lambda g: g.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum")),
+    ).to_pandas()
     out["revenue"] = r4(out["revenue"])
     out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
     return out.reset_index(drop=True)
@@ -253,16 +253,19 @@ FROM lineitem WHERE l_quantity > 45
 
 
 def q_distinct_brands(sf_dir: str) -> pd.DataFrame:
-    # multi-column DISTINCT = groupby(keys) with a dropped count — map-side
-    # batch dedup first so the shuffle carries only distinct pairs per block
-    from ray.data.aggregate import Count
+    # multi-column DISTINCT: map-side batch dedup (shrinks the shuffle to
+    # distinct pairs per block), then hash-bucketed exact dedup
+    from geo_polygonize_ray.functions import bucketed_groupby
 
     ds = _read(sf_dir, "part", columns=["p_brand", "p_size"])
     ds = ds.map_batches(
         lambda df: df.drop_duplicates(["p_brand", "p_size"]), batch_format="pandas"
     )
-    out = ds.groupby(["p_brand", "p_size"]).aggregate(Count(alias_name="_n")).to_pandas()
-    df = out.drop(columns=["_n"])
+    df = bucketed_groupby(
+        ds,
+        ["p_brand", "p_size"],
+        lambda g: g.drop_duplicates(["p_brand", "p_size"]),
+    ).to_pandas()
     return df.sort_values(["p_brand", "p_size"]).reset_index(drop=True)
 
 
@@ -283,10 +286,14 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
 
 
 def q_busy_customers(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Count
+    from geo_polygonize_ray.functions import bucketed_groupby
 
     ds = _read(sf_dir, "orders", columns=["o_custkey"])
-    g = ds.groupby("o_custkey").aggregate(Count(alias_name="n_orders")).to_pandas()
+    g = bucketed_groupby(
+        ds,
+        "o_custkey",
+        lambda b: b.groupby("o_custkey", as_index=False).agg(n_orders=("o_custkey", "size")),
+    ).to_pandas()
     g = g[g["n_orders"] >= 15].sort_values(["n_orders", "o_custkey"], ascending=[False, True])
     g["n_orders"] = g["n_orders"].astype(np.int64)
     return g.reset_index(drop=True)
@@ -316,10 +323,12 @@ def q_hash_join_order_revenue(sf_dir: str) -> pd.DataFrame:
 
     from ray.data.aggregate import Sum
 
-    rev = (
-        li.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+    from geo_polygonize_ray.functions import bucketed_groupby
+
+    rev = bucketed_groupby(
+        li.map_batches(partial, batch_format="pyarrow"),
+        "l_orderkey",
+        lambda g: g.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum")),
     )
     joined = rev.join(
         orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
@@ -360,14 +369,15 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
+    from geo_polygonize_ray.functions import bucketed_groupby
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "hour_bucket"])
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
-        .to_pandas()
-    )
+    out = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hour_bucket"],
+        lambda g: g.groupby(["event_type", "hour_bucket"], as_index=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")
+        ),
+    ).to_pandas()
     out["n"] = out["n"].astype(np.int64)
     out["sum_value"] = r4(out["sum_value"])
     return out.sort_values(["event_type", "hour_bucket"]).reset_index(drop=True)
@@ -385,18 +395,16 @@ ORDER BY event_type, hour_bucket
 
 
 def q_events_user_stats(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Count, Max, Sum
+    from geo_polygonize_ray.functions import bucketed_groupby
 
     ds = _read(sf_dir, "events", columns=["user_id", "value"])
-    out = (
-        ds.groupby("user_id")
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value", alias_name="sum_value"),
-            Max("value", alias_name="max_value"),
-        )
-        .to_pandas()
-    )
+    out = bucketed_groupby(
+        ds,
+        "user_id",
+        lambda g: g.groupby("user_id", as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"), max_value=("value", "max")
+        ),
+    ).to_pandas()
     out["n_events"] = out["n_events"].astype(np.int64)
     out["sum_value"] = r4(out["sum_value"])
     out["max_value"] = r4(out["max_value"])

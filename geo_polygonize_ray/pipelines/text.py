@@ -204,14 +204,13 @@ def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
         batch["content_hash"] = [_stable_hash64(t) for t in batch["text"]]
         return batch[["doc_id", "content_hash"]]
 
-    from ray.data.aggregate import Min
+    from geo_polygonize_ray.functions import bucketed_groupby
 
-    out = (
-        ds.map_batches(add_hash, batch_format="pandas")
-        .groupby("content_hash")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .to_pandas()
-    )
+    out = bucketed_groupby(
+        ds.map_batches(add_hash, batch_format="pandas"),
+        "content_hash",
+        lambda g: g.groupby("content_hash", as_index=False).agg(doc_id=("doc_id", "min")),
+    ).to_pandas()
     return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
@@ -230,15 +229,17 @@ def _shingles(text: str, k: int = 5) -> set[str]:
 class MinHasher:
     """Shingle -> 128-perm MinHash signature; seeds built once per actor.
 
-    Universal hashing: h_i(x) = (a_i * x + b_i) mod p over a 61-bit prime.
+    Universal hashing h_i(x) = (a_i * x + b_i) mod p with 32-bit x and a, b
+    and a prime p > 2^32, so every product fits uint64 and the whole
+    (n_perm x n_shingles) hash matrix is one vectorized numpy expression.
     """
 
-    P = (1 << 61) - 1
+    P = np.uint64(4294967311)  # smallest prime > 2^32
 
     def __init__(self, n_perm: int = 128, k_shingle: int = 5, seed: int = 7):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, self.P, n_perm, dtype=np.int64).astype(object)
-        self.b = rng.integers(0, self.P, n_perm, dtype=np.int64).astype(object)
+        self.a = rng.integers(1, 1 << 32, n_perm, dtype=np.uint64)
+        self.b = rng.integers(0, 1 << 32, n_perm, dtype=np.uint64)
         self.n_perm = n_perm
         self.k = k_shingle
 
@@ -247,13 +248,11 @@ class MinHasher:
         if not sh:
             return np.zeros(self.n_perm, dtype=np.uint64)
         base = np.array(
-            [int.from_bytes(hashlib.sha1(s.encode()).digest()[:8], "big") & ((1 << 61) - 1) for s in sh],
-            dtype=object,
+            [int.from_bytes(hashlib.sha1(s.encode()).digest()[:4], "big") for s in sh],
+            dtype=np.uint64,
         )
-        sig = np.empty(self.n_perm, dtype=np.uint64)
-        for i in range(self.n_perm):
-            sig[i] = np.uint64(int(np.min((self.a[i] * base + self.b[i]) % self.P)))
-        return sig
+        h = (self.a[:, None] * base[None, :] + self.b[:, None]) % self.P
+        return h.min(axis=1)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         batch["minhash"] = [self.signature(t).tolist() for t in batch["text"]]
@@ -264,54 +263,104 @@ class MinHasher:
         return "MinHasher"
 
 
+def _band_keys(sig_matrix: np.ndarray, bands: int) -> np.ndarray:
+    """(n, n_perm) uint64 signatures -> (n, bands) uint64 band-bucket keys
+    via a vectorized FNV-style mix (no per-row hashing loops)."""
+    n, n_perm = sig_matrix.shape
+    rpb = n_perm // bands
+    chunks = sig_matrix[:, : bands * rpb].reshape(n, bands, rpb)
+    h = np.full((n, bands), np.uint64(1469598103934665603))
+    prime = np.uint64(1099511628211)
+    for i in range(rpb):
+        h = (h ^ chunks[:, :, i]) * prime
+    # mix in the band index so identical chunks in different bands differ
+    h ^= np.arange(bands, dtype=np.uint64)[None, :] * np.uint64(0x9E3779B97F4A7C15)
+    return h
+
+
 def minhash_lsh_pairs(
     sf_dir: str, n_perm: int = 128, bands: int = 32, jaccard_threshold: float = 0.5
 ) -> pd.DataFrame:
-    """MinHash+LSH near-dup candidate pairs, verified by signature Jaccard.
+    """MinHash+LSH near-dup pairs, verified by signature-estimated Jaccard.
 
-    shingle -> minhash (actor pool) -> explode to (band_id, band_hash, doc)
-    -> groupby bands -> pairs within buckets -> estimated Jaccard filter.
+    Scalable shape (avoids a shuffle of per-bucket groups): shingle ->
+    minhash (actor pool) -> explode to slim (band_key, doc_id) rows ->
+    ONE C-speed count aggregate finds colliding buckets (the candidate set
+    is tiny relative to the corpus) -> candidate doc signatures verified
+    with a broadcast-style small-side join.
     """
-    rows_per_band = n_perm // bands
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    sigs = ds.map_batches(MinHasher, batch_format="pandas", batch_size=512, concurrency=2)
+    # materialize: the signature stage feeds three downstream consumers
+    # (bucket counts, candidate filter, verification) — without pinning it
+    # in the object store each consumer would recompute the MinHash pass.
+    # At 100 TB scale this would be a parquet checkpoint instead.
+    sigs = ds.map_batches(
+        MinHasher, batch_format="pandas", batch_size=512, concurrency=2
+    ).materialize()
 
     def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"band_id": [], "band_hash": [], "doc_id": [], "minhash": []}
-        for _, row in batch.iterrows():
-            sig = np.asarray(row["minhash"], dtype=np.uint64)
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                bh = _stable_hash64(chunk.tobytes().hex())
-                out["band_id"].append(b)
-                out["band_hash"].append(bh)
-                out["doc_id"].append(row["doc_id"])
-                out["minhash"].append(row["minhash"])
-        return pd.DataFrame(out)
-
-    banded = sigs.map_batches(explode_bands, batch_format="pandas", batch_size=512)
-
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-        g = group.sort_values("doc_id")
-        docs = g["doc_id"].to_numpy()
-        sigs_arr = np.stack([np.asarray(s, dtype=np.uint64) for s in g["minhash"]])
-        ia, ib = np.triu_indices(len(docs), 1)
-        est = (sigs_arr[ia] == sigs_arr[ib]).mean(axis=1)
+        sig_m = np.stack([np.asarray(s, dtype=np.uint64) for s in batch["minhash"]])
+        keys = _band_keys(sig_m, bands)
+        n = len(batch)
         return pd.DataFrame(
-            {"doc_a": docs[ia].astype(np.int64), "doc_b": docs[ib].astype(np.int64), "est_jaccard": est}
+            {
+                "band_key": keys.ravel().astype(np.int64),
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
+            }
         )
 
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    banded = sigs.map_batches(explode_bands, batch_format="pandas", batch_size=512)
+    from geo_polygonize_ray.functions import bucketed_groupby
+
+    counts = bucketed_groupby(
+        banded,
+        "band_key",
+        lambda g: g.groupby("band_key", as_index=False).agg(n=("doc_id", "size")),
     ).to_pandas()
-    if len(pairs) == 0:
+    hot = set(counts.loc[counts["n"] >= 2, "band_key"].tolist())
+    if not hot:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-    pairs = pairs.drop_duplicates(["doc_a", "doc_b"])
-    pairs = pairs[pairs["est_jaccard"] >= jaccard_threshold]
-    pairs["est_jaccard"] = r4(pairs["est_jaccard"])
-    return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    import ray
+
+    hot_ref = ray.put(hot)
+
+    def in_hot(batch: pd.DataFrame) -> pd.DataFrame:
+        h = ray.get(hot_ref)
+        return batch[batch["band_key"].isin(h)]
+
+    cand_rows = banded.map_batches(in_hot, batch_format="pandas").to_pandas()
+    pairs = set()
+    for _, grp in cand_rows.groupby("band_key"):
+        docs = np.sort(grp["doc_id"].unique())
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                pairs.add((int(docs[i]), int(docs[j])))
+    if not pairs:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+
+    cand_docs = sorted({d for p in pairs for d in p})
+    cand_ref = ray.put(set(cand_docs))
+
+    def sig_of_cand(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cand_ref)
+        return batch[batch["doc_id"].isin(c)]
+
+    sig_df = sigs.map_batches(sig_of_cand, batch_format="pandas").to_pandas()
+    sig_map = {
+        int(r.doc_id): np.asarray(r.minhash, dtype=np.uint64) for r in sig_df.itertuples()
+    }
+    out = {"doc_a": [], "doc_b": [], "est_jaccard": []}
+    for a, b in sorted(pairs):
+        est = float((sig_map[a] == sig_map[b]).mean())
+        if est >= jaccard_threshold:
+            out["doc_a"].append(a)
+            out["doc_b"].append(b)
+            out["est_jaccard"].append(est)
+    res = pd.DataFrame(out)
+    if len(res):
+        res["est_jaccard"] = r4(res["est_jaccard"])
+    return res
 
 
 class SimHasher:
@@ -367,18 +416,34 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.35, max_do
         return pd.DataFrame(rows)
 
     grams = ds.map_batches(explode, batch_format="pandas", batch_size=512)
+    # bucketed count (C speed) -> only grams shared by 2..50 docs are
+    # candidate generators (ubiquitous grams are stop-grams); the hot set is
+    # small, so pair formation happens on the filtered rows driver-side
+    from geo_polygonize_ray.functions import bucketed_groupby
 
-    def pair_up(group: pd.DataFrame) -> pd.DataFrame:
-        docs = np.sort(group["doc_id"].unique())
-        if len(docs) < 2 or len(docs) > 50:  # skip ubiquitous grams (stop-grams)
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        ia, ib = np.triu_indices(len(docs), 1)
-        return pd.DataFrame({"doc_a": docs[ia].astype(np.int64), "doc_b": docs[ib].astype(np.int64)})
-
-    cand = grams.groupby("gram_hash").map_groups(pair_up, batch_format="pandas").to_pandas()
-    if len(cand) == 0:
+    counts = bucketed_groupby(
+        grams,
+        "gram_hash",
+        lambda g: g.groupby("gram_hash", as_index=False).agg(n=("doc_id", "size")),
+    ).to_pandas()
+    hot = set(counts.loc[(counts["n"] >= 2) & (counts["n"] <= 50), "gram_hash"].tolist())
+    if not hot:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    cand = cand.drop_duplicates()
+    import ray
+
+    hot_ref = ray.put(hot)
+    cand_rows = grams.map_batches(
+        lambda b: b[b["gram_hash"].isin(ray.get(hot_ref))], batch_format="pandas"
+    ).to_pandas()
+    pair_set = set()
+    for _, grp in cand_rows.groupby("gram_hash"):
+        docs = np.sort(grp["doc_id"].unique())
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                pair_set.add((int(docs[i]), int(docs[j])))
+    if not pair_set:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    cand = pd.DataFrame(sorted(pair_set), columns=["doc_a", "doc_b"])
     # verify exact jaccard on the (small) candidate set driver-side
     texts = _read(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
     gram_sets = {

@@ -14,7 +14,15 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from geo_polygonize_ray.local.polygonize import Polygon, polygonize_lines
+from geo_polygonize_ray.local.noding import SnapNoder
+from geo_polygonize_ray.local.polygonize import (
+    Polygon,
+    assemble_flat,
+    dedup_linestrings,
+    explode_to_segments,
+    polygonize_lines,
+    trace_rings,
+)
 from geo_polygonize_ray.stages.linework import TileAssigner, _list_bounds
 
 POLYGON_SCHEMA = pa.schema(
@@ -61,6 +69,41 @@ def polygons_to_table(polys: list[Polygon], tile_id: int = 0) -> pa.Table:
     return pa.table(rows, schema=POLYGON_SCHEMA)
 
 
+def flat_to_table(flat: dict, tile_id: int) -> pa.Table:
+    """assemble_flat output -> Arrow polygons table via ListArray.from_arrays
+    (offsets + values, no per-row Python)."""
+    n = len(flat["area"])
+    shell_xs = pa.ListArray.from_arrays(
+        pa.array(flat["shell_offsets"], pa.int32()), pa.array(flat["shell_values_x"], pa.float64())
+    )
+    shell_ys = pa.ListArray.from_arrays(
+        pa.array(flat["shell_offsets"], pa.int32()), pa.array(flat["shell_values_y"], pa.float64())
+    )
+    inner_x = pa.ListArray.from_arrays(
+        pa.array(flat["hole_ring_offsets"], pa.int32()), pa.array(flat["hole_values_x"], pa.float64())
+    )
+    inner_y = pa.ListArray.from_arrays(
+        pa.array(flat["hole_ring_offsets"], pa.int32()), pa.array(flat["hole_values_y"], pa.float64())
+    )
+    holes_xs = pa.ListArray.from_arrays(pa.array(flat["poly_hole_offsets"], pa.int32()), inner_x)
+    holes_ys = pa.ListArray.from_arrays(pa.array(flat["poly_hole_offsets"], pa.int32()), inner_y)
+    return pa.table(
+        {
+            "tile_id": pa.array(np.full(n, tile_id, dtype=np.int64)),
+            "poly_id": pa.array(np.arange(n, dtype=np.int64)),
+            "shell_xs": shell_xs,
+            "shell_ys": shell_ys,
+            "holes_xs": holes_xs,
+            "holes_ys": holes_ys,
+            "area": pa.array(flat["area"], pa.float64()),
+            "cx": pa.array(flat["cx"], pa.float64()),
+            "cy": pa.array(flat["cy"], pa.float64()),
+            "n_holes": pa.array(flat["n_holes"], pa.int64()),
+        },
+        schema=POLYGON_SCHEMA,
+    )
+
+
 def table_to_polygons(t: pa.Table) -> list[Polygon]:
     polys = []
     for i in range(t.num_rows):
@@ -98,30 +141,48 @@ class TilePolygonizer:
         self.__name__ = "TilePolygonizer"  # ray map_groups wraps fn.__name__
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        """Process one shuffle group.  A group holds EVERY row of one or
+        more tiles (tiles are bucketed ``tile_id % B`` upstream so the Ray
+        per-group overhead is paid per *bucket*, not per tile — the same
+        high-cardinality-key pattern as functions/agg.py); each tile is
+        still polygonized independently here."""
         if group.num_rows == 0:
             return POLYGON_SCHEMA.empty_table()
-        tile_id = int(group["tile_id"][0].as_py()) if "tile_id" in group.schema.names else 0
+        if "tile_id" in group.schema.names:
+            tile_ids = group["tile_id"].to_numpy()
+        else:
+            tile_ids = np.zeros(group.num_rows, dtype=np.int64)
         xs, xo = _list_bounds(group["xs"])
         ys, _ = _list_bounds(group["ys"])
-        lines = [
-            np.stack([xs[xo[i] : xo[i + 1]], ys[xo[i] : xo[i + 1]]], axis=1)
-            for i in range(group.num_rows)
-        ]
-        polys = polygonize_lines(
-            lines,
-            node_input=self.node_input,
-            snap_grid_size=self.snap_grid_size,
-            max_noding_iters=self.max_noding_iters,
+        out_tables = []
+        order = np.argsort(tile_ids, kind="stable")
+        sorted_tiles = tile_ids[order]
+        starts = np.flatnonzero(np.concatenate([[True], sorted_tiles[1:] != sorted_tiles[:-1]]))
+        ends = np.concatenate([starts[1:], [len(sorted_tiles)]])
+        for s, e in zip(starts, ends):
+            rows = order[s:e]
+            tile_id = int(sorted_tiles[s])
+            lines = [
+                np.stack([xs[xo[i] : xo[i + 1]], ys[xo[i] : xo[i + 1]]], axis=1)
+                for i in rows
+            ]
+            out_tables.append(self._polygonize_tile_table(lines, tile_id))
+        return pa.concat_tables(out_tables) if out_tables else POLYGON_SCHEMA.empty_table()
+
+    def _polygonize_tile_table(self, lines: list[np.ndarray], tile_id: int) -> pa.Table:
+        """One tile -> Arrow polygons (flat assembly, no per-poly Python)."""
+        if self.node_input:
+            lines = dedup_linestrings(lines)
+            x0, y0, x1, y1 = explode_to_segments(lines)
+            noder = SnapNoder(self.snap_grid_size, self.max_noding_iters)
+            x0, y0, x1, y1 = noder.node(x0, y0, x1, y1)
+        else:
+            x0, y0, x1, y1 = explode_to_segments(lines)
+        fx, fy, offs = trace_rings(x0, y0, x1, y1)
+        owner_rect = (
+            self.assigner.tile_rect(tile_id)
+            if (self.ownership and self.assigner is not None)
+            else None
         )
-        if self.ownership and self.assigner is not None:
-            tx0, ty0, tx1, ty1 = self.assigner.tile_rect(tile_id)
-            kept = []
-            for p in polys:
-                if p.area < 1e-6:  # sliver filter (src/tiling.rs:95-97)
-                    continue
-                cx, cy = p.centroid()
-                # half-open [min, max) ownership (src/tiling.rs:99-106)
-                if tx0 <= cx < tx1 and ty0 <= cy < ty1:
-                    kept.append(p)
-            polys = kept
-        return polygons_to_table(polys, tile_id)
+        flat = assemble_flat(fx, fy, offs, owner_rect=owner_rect)
+        return flat_to_table(flat, tile_id)
