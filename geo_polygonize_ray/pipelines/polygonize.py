@@ -34,7 +34,11 @@ import ray.data as rd
 from geo_polygonize_ray.config import PipelineConfig
 from geo_polygonize_ray.local.polygonize import Polygon, polygonize_lines
 from geo_polygonize_ray.sources.fixtures import linework_table
-from geo_polygonize_ray.stages.linework import TileAssigner, linework_bboxes
+from geo_polygonize_ray.stages.linework import (
+    SaltedTileAssigner,
+    TileAssigner,
+    linework_bboxes,
+)
 from geo_polygonize_ray.stages.trace import (
     POLYGON_SCHEMA,
     TilePolygonizer,
@@ -94,9 +98,29 @@ def polygonize_dataset(
 
     if bbox is None:
         bbox = dataset_bbox(ds)
-    assigner = TileAssigner(bbox, cfg.tile_size, cfg.tile_buffer)
     keep_cols = [c for c in ("plane_id", "line_id", "xs", "ys") if c in ds.schema().names]
     ds = ds.select_columns(keep_cols)  # never shuffle payload columns
+
+    # --- skew salting pre-pass (SURVEY.md §4.2, north_rule) ----------------
+    # count linework rows per base tile with a cheap partial aggregate; over-
+    # full tiles get subdivided k x k so no single shuffle group explodes.
+    hot: dict[int, int] = {}
+    if cfg.salt_threshold and cfg.salt_threshold > 0:
+        probe = TileAssigner(bbox, cfg.tile_size, cfg.tile_buffer)
+
+        def tile_counts(batch: pa.Table) -> pa.Table:
+            assigned = probe(batch)
+            tid, cnt = np.unique(assigned["tile_id"].to_numpy(), return_counts=True)
+            return pa.table({"tile_id": tid, "n": cnt})
+
+        parts = ds.map_batches(tile_counts, batch_format="pyarrow").to_pandas()
+        counts = parts.groupby("tile_id")["n"].sum()
+        for tid, n in counts.items():
+            if n > cfg.salt_threshold:
+                k = int(np.clip(np.ceil(np.sqrt(n / cfg.salt_threshold)), 2, 8))
+                hot[int(tid)] = k
+
+    assigner = SaltedTileAssigner(bbox, cfg.tile_size, cfg.tile_buffer, hot=hot)
     ds = ds.map_batches(assigner, batch_format="pyarrow", batch_size=cfg.batch_size)
     # Shuffle key = bucket of tiles, NOT raw tile_id: Ray pays a per-group
     # Python overhead in map_groups, so thousands of tiles are folded into

@@ -92,3 +92,105 @@ class TileAssigner:
         tile_id = (np.repeat(r0, counts) + dr) * self.n_cols + (np.repeat(c0, counts) + dc)
         out = batch.take(pa.array(row_idx))
         return out.append_column("tile_id", pa.array(tile_id, pa.int64()))
+
+
+# max sub-tiles per salted base tile: k x k with k <= 8 -> 6 bits of sub key
+_SALT_SUBS = 64
+
+
+class SaltedTileAssigner(TileAssigner):
+    """TileAssigner with explicit skew salting (SURVEY.md §4.2, north_rule).
+
+    Hot base tiles (identified by a cheap count pre-pass) are subdivided
+    into k x k sub-tiles; the shuffle key becomes
+    ``leaf = tile_id * 64 + sub_idx`` so an over-full cell's work fans out
+    across k^2 groups.  Sub-rects partition the base rect exactly, so the
+    centroid-ownership rule stays exactly-once; the buffered-duplication
+    contract (buffer >= max polygon radius) applies per sub-rect.
+    """
+
+    def __init__(self, bbox, tile_size, buffer=0.0, hot: dict[int, int] | None = None):
+        super().__init__(bbox, tile_size, buffer)
+        self.hot = {int(k): int(v) for k, v in (hot or {}).items()}
+        for k, v in self.hot.items():
+            if not (2 <= v <= 8):
+                raise ValueError(f"salt factor {v} for tile {k} outside 2..8")
+
+    def leaf_rect(self, leaf_id: int) -> tuple[float, float, float, float]:
+        base, sub = divmod(int(leaf_id), _SALT_SUBS)
+        x0, y0, x1, y1 = self.tile_rect(base)
+        k = self.hot.get(base, 1)
+        if k == 1:
+            return x0, y0, x1, y1
+        r, c = divmod(sub, k)
+        w = (x1 - x0) / k
+        h = (y1 - y0) / k
+        return (x0 + c * w, y0 + r * h, x0 + (c + 1) * w, y0 + (r + 1) * h)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        base = super().__call__(batch)
+        if not self.hot or base.num_rows == 0:
+            if base.num_rows:
+                leaf = base["tile_id"].to_numpy() * _SALT_SUBS
+            else:
+                leaf = np.empty(0, dtype=np.int64)
+            return base.set_column(
+                base.schema.get_field_index("tile_id"), "tile_id", pa.array(leaf.astype(np.int64))
+            )
+        tids = base["tile_id"].to_numpy()
+        is_hot = np.isin(tids, list(self.hot))
+        cold = np.flatnonzero(~is_hot)
+        out_parts = []
+        if len(cold):
+            t = base.take(pa.array(cold))
+            leaf = t["tile_id"].to_numpy() * _SALT_SUBS
+            out_parts.append(
+                t.set_column(t.schema.get_field_index("tile_id"), "tile_id", pa.array(leaf))
+            )
+        hot_rows = np.flatnonzero(is_hot)
+        if len(hot_rows):
+            t = base.take(pa.array(hot_rows))
+            bminx, bminy, bmaxx, bmaxy = linework_bboxes(t)
+            htids = t["tile_id"].to_numpy()
+            buf = self.buffer
+            rep_rows = []
+            rep_leaf = []
+            # group hot rows by their base tile's salt factor; vectorize per k
+            for k in sorted(set(self.hot[int(x)] for x in np.unique(htids))):
+                sel = np.flatnonzero(
+                    np.array([self.hot[int(x)] == k for x in htids])
+                )
+                if not len(sel):
+                    continue
+                tx0 = np.array([self.tile_rect(int(htids[i]))[0] for i in sel])
+                ty0 = np.array([self.tile_rect(int(htids[i]))[1] for i in sel])
+                tx1 = np.array([self.tile_rect(int(htids[i]))[2] for i in sel])
+                ty1 = np.array([self.tile_rect(int(htids[i]))[3] for i in sel])
+                w = (tx1 - tx0) / k
+                h = (ty1 - ty0) / k
+                c0 = np.clip(np.ceil((bminx[sel] - buf - tx0) / w - 1.0), 0, k - 1).astype(np.int64)
+                c1 = np.clip(np.floor((bmaxx[sel] + buf - tx0) / w), 0, k - 1).astype(np.int64)
+                r0 = np.clip(np.ceil((bminy[sel] - buf - ty0) / h - 1.0), 0, k - 1).astype(np.int64)
+                r1 = np.clip(np.floor((bmaxy[sel] + buf - ty0) / h), 0, k - 1).astype(np.int64)
+                counts = (c1 - c0 + 1) * (r1 - r0 + 1)
+                total = int(counts.sum())
+                rr = np.repeat(sel, counts)
+                local = np.arange(total) - np.repeat(
+                    np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+                )
+                width = np.repeat(c1 - c0 + 1, counts)
+                dc = local % width
+                dr = local // width
+                sub = (np.repeat(r0, counts) + dr) * k + (np.repeat(c0, counts) + dc)
+                rep_rows.append(rr)
+                rep_leaf.append(htids[rr] * _SALT_SUBS + sub)
+            if rep_rows:
+                rr = np.concatenate(rep_rows)
+                lf = np.concatenate(rep_leaf)
+                t2 = t.take(pa.array(rr))
+                out_parts.append(
+                    t2.set_column(
+                        t2.schema.get_field_index("tile_id"), "tile_id", pa.array(lf.astype(np.int64))
+                    )
+                )
+        return pa.concat_tables(out_parts) if out_parts else base.slice(0, 0)

@@ -179,10 +179,13 @@ class TilePolygonizer:
         else:
             x0, y0, x1, y1 = explode_to_segments(lines)
         fx, fy, offs = trace_rings(x0, y0, x1, y1)
-        owner_rect = (
-            self.assigner.tile_rect(tile_id)
-            if (self.ownership and self.assigner is not None)
-            else None
-        )
+        if self.ownership and self.assigner is not None:
+            # salted assigners key groups by leaf id; plain ones by tile id
+            if hasattr(self.assigner, "leaf_rect"):
+                owner_rect = self.assigner.leaf_rect(tile_id)
+            else:
+                owner_rect = self.assigner.tile_rect(tile_id)
+        else:
+            owner_rect = None
         flat = assemble_flat(fx, fy, offs, owner_rect=owner_rect)
         return flat_to_table(flat, tile_id)

@@ -1,0 +1,98 @@
+"""Salting (skew) and checkpoint/resume tests (FIXTURES.md §6.2, §6.4)."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from geo_polygonize_ray.config import PipelineConfig
+from geo_polygonize_ray.local import polygonize_lines
+from geo_polygonize_ray.pipelines.polygonize import (
+    polygonize_dataset,
+    polygonize_lines_distributed,
+)
+from geo_polygonize_ray.sources.fixtures import grid_lines, linework_table
+from geo_polygonize_ray.state import write_polygons_checkpointed
+
+
+def skewed_lines():
+    """grid(12) plus a dense sub-grid crammed into one corner tile."""
+    lines = grid_lines(12)
+    for i in range(13):
+        lines.append(np.array([[0.0, i * 0.25], [3.0, i * 0.25]]))
+        lines.append(np.array([[i * 0.25, 0.0], [i * 0.25, 3.0]]))
+    return lines
+
+
+def poly_key(p):
+    return (
+        round(p.area, 9),
+        round(float(p.shell_x.min()), 9),
+        round(float(p.shell_y.min()), 9),
+        round(float(p.shell_x.max()), 9),
+        round(float(p.shell_y.max()), 9),
+        len(p.holes_x),
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSalting:
+    def test_salted_equals_local(self):
+        lines = skewed_lines()
+        local = polygonize_lines(lines, node_input=True)
+        cfg = PipelineConfig(tile_size=4.0, tile_buffer=4.0, salt_threshold=10)
+        dist = polygonize_lines_distributed(lines, cfg, bbox=(0, 0, 12, 12))
+        assert sorted(map(poly_key, dist)) == sorted(map(poly_key, local))
+
+    def test_salting_spreads_groups(self):
+        import ray.data as rd
+
+        lines = skewed_lines()
+        ds = rd.from_arrow(linework_table(lines))
+        hot_cfg = PipelineConfig(tile_size=4.0, tile_buffer=4.0, salt_threshold=10)
+        out = polygonize_dataset(ds, hot_cfg, bbox=(0, 0, 12, 12)).to_pandas()
+        # the dense corner produced polygons under several distinct leaf keys
+        corner = out[(out["cx"] < 3.0) & (out["cy"] < 3.0)]
+        assert corner["tile_id"].nunique() > 1, "hot tile was not subdivided"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCheckpointResume:
+    def test_write_skip_and_identical(self, tmp_path):
+        import ray.data as rd
+
+        out_dir = str(tmp_path / "polys")
+        lines = grid_lines(8)
+        cfg = PipelineConfig(tile_size=4.0, tile_buffer=2.0)
+
+        ds = polygonize_dataset(rd.from_arrow(linework_table(lines)), cfg, bbox=(0, 0, 8, 8))
+        r1 = write_polygons_checkpointed(ds, out_dir)
+        assert r1["rows"] == 64
+        assert len(r1["written"]) > 0 and not r1["skipped"]
+        manifest = [json.loads(l) for l in open(os.path.join(out_dir, "_manifest.jsonl"))]
+        assert {m["partition"] for m in manifest} == set(r1["written"])
+        assert all(m["rows"] > 0 and m["bytes"] > 0 for m in manifest)
+
+        # snapshot partition bytes, then resume: everything skipped, bytes identical
+        sizes = {
+            p: open(os.path.join(out_dir, f"part={p}", "data.parquet"), "rb").read()
+            for p in r1["written"]
+        }
+        ds2 = polygonize_dataset(rd.from_arrow(linework_table(lines)), cfg, bbox=(0, 0, 8, 8))
+        r2 = write_polygons_checkpointed(ds2, out_dir)
+        assert not r2["written"]
+        assert set(r2["skipped"]) == set(r1["written"])
+        for p, blob in sizes.items():
+            assert open(os.path.join(out_dir, f"part={p}", "data.parquet"), "rb").read() == blob
+
+        # delete one partition from the manifest -> only it is rewritten
+        keep = [json.loads(l) for l in open(os.path.join(out_dir, "_manifest.jsonl"))]
+        dropped = keep[0]["partition"]
+        with open(os.path.join(out_dir, "_manifest.jsonl"), "w") as f:
+            for m in keep[1:]:
+                f.write(json.dumps(m) + "\n")
+        ds3 = polygonize_dataset(rd.from_arrow(linework_table(lines)), cfg, bbox=(0, 0, 8, 8))
+        r3 = write_polygons_checkpointed(ds3, out_dir)
+        assert r3["written"] == [dropped]
