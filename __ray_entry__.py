@@ -72,7 +72,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygonize_random": geometry.q_polygonize_random,
         "polygonize_tiled": geometry.q_polygonize_tiled,
         "image_roundtrip": geometry.q_image_roundtrip,
+        # --- multimodal opaque-binary stages (rows-only) ---
+        "audio_features": _q_audio_features,
+        "video_frame_stats": _q_video_frame_stats,
+        "image_resize": _q_image_resize,
     }
+
+
+def _q_audio_features(sf_dir: str):
+    from geo_polygonize_ray.pipelines.multimodal import audio_features_pipeline, make_audio_table
+
+    return audio_features_pipeline(make_audio_table(64)).to_pandas().sort_values("clip_id")
+
+
+def _q_video_frame_stats(sf_dir: str):
+    from geo_polygonize_ray.pipelines.multimodal import make_video_table, video_frame_pipeline
+
+    return (
+        video_frame_pipeline(make_video_table(16, n_frames=8), n_sample=4)
+        .to_pandas()
+        .sort_values(["video_id", "frame_idx"])
+    )
+
+
+def _q_image_resize(sf_dir: str):
+    import ray.data as rd
+
+    from geo_polygonize_ray.pipelines.multimodal import resize_images_stage
+    from geo_polygonize_ray.sources.fixtures import cached_image_table
+
+    ds = rd.read_parquet(cached_image_table(64))
+    out = ds.map_batches(
+        resize_images_stage, fn_kwargs=dict(out_w=16, out_h=16), batch_format="pyarrow"
+    ).to_pandas()
+    out["n_bytes"] = out["bytes"].map(len)
+    return out[["image_id", "w", "h", "fmt", "n_bytes"]].sort_values("image_id")
 
 
 def oracle_sql() -> dict[str, str]:

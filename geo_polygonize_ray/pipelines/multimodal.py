@@ -1,0 +1,256 @@
+"""Multimodal opaque-binary columns: audio & video stages + image resize.
+
+The pattern (prompt requirement): media travel as opaque ``binary`` columns
+with typed metadata; decode / feature-extract / resize / frame-sample run as
+actor-pool ``map_batches`` stages over zero-copy Arrow batches.
+
+This container has no media libraries, so:
+  * RAW formats are decoded for real in numpy
+      - audio ``pcm16-raw``: interleaved int16 little-endian samples
+      - video ``rgbseq-raw``: n_frames concatenated rgb8 frames
+  * compressed formats (mp3/flac/h264/...) are STUBBED behind a clearly
+    marked NotImplementedError — the Ray-side plumbing (schema, batch
+    shapes, actor signatures, output layout) is real and tested, and the
+    decode call is the single seam to swap for a real codec on a cluster.
+
+Binary payloads stay in ``batch_format="pyarrow"`` (nested/binary columns
+do not round-trip pandas cleanly) and NEVER enter a shuffle: feature rows
+are projected out first (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("sample_rate", pa.int32()),
+        ("n_channels", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+    ]
+)
+
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("video_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("n_frames", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+    ]
+)
+
+
+def decode_audio(data: bytes, fmt: str, n_channels: int) -> np.ndarray:
+    """-> (n_samples, n_channels) float64 in [-1, 1]."""
+    if fmt == "pcm16-raw":
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        return x.reshape(-1, n_channels)
+    # STUB: compressed audio codecs are not available in this container.
+    raise NotImplementedError(
+        f"audio codec '{fmt}' requires an external decoder (e.g. soundfile/ffmpeg); "
+        "only 'pcm16-raw' is decoded natively — swap this seam on a real cluster"
+    )
+
+
+def decode_video_frames(data: bytes, w: int, h: int, n_frames: int, fmt: str) -> np.ndarray:
+    """-> (n_frames, h, w, 3) uint8."""
+    if fmt == "rgbseq-raw":
+        return np.frombuffer(data, dtype=np.uint8).reshape(n_frames, h, w, 3)
+    raise NotImplementedError(
+        f"video codec '{fmt}' requires an external decoder (e.g. PyAV/ffmpeg); "
+        "only 'rgbseq-raw' is decoded natively — swap this seam on a real cluster"
+    )
+
+
+class AudioFeatures:
+    """Actor stage: decode + per-clip features (RMS energy, zero-crossing
+    rate, peak, duration).  Real math over real PCM."""
+
+    def __init__(self):
+        self.__name__ = "AudioFeatures"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["clip_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        rates = batch["sample_rate"].to_numpy()
+        chans = batch["n_channels"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        caps = batch["caption"].to_pylist()
+        rms, zcr, peak, dur = [], [], [], []
+        for i in range(len(ids)):
+            x = decode_audio(blobs[i], fmts[i], int(chans[i]))
+            mono = x.mean(axis=1)
+            rms.append(float(np.sqrt(np.mean(mono**2))))
+            zcr.append(float(np.mean(np.signbit(mono[:-1]) != np.signbit(mono[1:]))))
+            peak.append(float(np.max(np.abs(mono))))
+            dur.append(len(mono) / float(rates[i]))
+        return pa.table(
+            {
+                "clip_id": pa.array(ids),
+                "caption": pa.array(caps),
+                "duration_s": pa.array(np.round(dur, 6)),
+                "rms": pa.array(np.round(rms, 6)),
+                "zero_crossing_rate": pa.array(np.round(zcr, 6)),
+                "peak": pa.array(np.round(peak, 6)),
+            }
+        )
+
+
+class VideoFrameSampler:
+    """Actor stage: decode + uniform frame sampling + per-frame luma stats.
+    Emits one row per sampled frame (flat_map-shaped output)."""
+
+    def __init__(self, n_sample: int = 4):
+        self.n_sample = n_sample
+        self.__name__ = "VideoFrameSampler"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"video_id": [], "frame_idx": [], "mean_luma": [], "std_luma": []}
+        for i in range(batch.num_rows):
+            vid = batch["video_id"][i].as_py()
+            frames = decode_video_frames(
+                batch["bytes"][i].as_py(),
+                batch["w"][i].as_py(),
+                batch["h"][i].as_py(),
+                batch["n_frames"][i].as_py(),
+                batch["fmt"][i].as_py(),
+            )
+            n = len(frames)
+            idxs = np.unique(np.linspace(0, n - 1, min(self.n_sample, n)).astype(int))
+            for j in idxs:
+                luma = (
+                    0.299 * frames[j, ..., 0]
+                    + 0.587 * frames[j, ..., 1]
+                    + 0.114 * frames[j, ..., 2]
+                )
+                out["video_id"].append(vid)
+                out["frame_idx"].append(int(j))
+                out["mean_luma"].append(round(float(luma.mean()), 4))
+                out["std_luma"].append(round(float(luma.std()), 4))
+        return pa.table(
+            {
+                "video_id": pa.array(out["video_id"], pa.string()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+                "mean_luma": pa.array(out["mean_luma"], pa.float64()),
+                "std_luma": pa.array(out["std_luma"], pa.float64()),
+            }
+        )
+
+
+def resize_images_stage(batch: pa.Table, out_w: int, out_h: int) -> pa.Table:
+    """Image resize (area-mean when downscaling evenly, else nearest) over
+    the input_hint image table; emits resized rgb8-raw rows."""
+    from geo_polygonize_ray.raster.codec import decode_image, encode_image
+    from geo_polygonize_ray.raster.phash import _resize_area
+
+    ids = batch["image_id"].to_pylist()
+    blobs = batch["bytes"].to_pylist()
+    ws = batch["w"].to_numpy()
+    hs = batch["h"].to_numpy()
+    fmts = batch["fmt"].to_pylist()
+    caps = batch["caption"].to_pylist()
+    out_blobs = []
+    for i in range(len(ids)):
+        img = decode_image(blobs[i], int(ws[i]), int(hs[i]), fmts[i])
+        chans = [_resize_area(img[..., c].astype(np.float64), out_h) for c in range(3)]
+        small = np.stack(chans, axis=-1)
+        if small.shape[1] != out_w:  # non-square targets: nearest on x
+            xi = (np.arange(out_w) * small.shape[1] // out_w).clip(0, small.shape[1] - 1)
+            small = small[:, xi]
+        out_blobs.append(encode_image(np.clip(np.round(small), 0, 255).astype(np.uint8), "rgb8-raw"))
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(out_blobs, pa.binary()),
+            "w": pa.array(np.full(len(ids), out_w, dtype=np.int32)),
+            "h": pa.array(np.full(len(ids), out_h, dtype=np.int32)),
+            "fmt": pa.array(["rgb8-raw"] * len(ids)),
+            "caption": pa.array(caps, pa.string()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixtures
+# ---------------------------------------------------------------------------
+
+
+def make_audio_table(n: int, seed: int = 42, sr: int = 8000, dur_s: float = 0.5) -> pa.Table:
+    rows = {"clip_id": [], "bytes": [], "sample_rate": [], "n_channels": [], "fmt": [], "caption": []}
+    for i in range(n):
+        rng = np.random.default_rng(seed * 7919 + i)
+        t = np.arange(int(sr * dur_s)) / sr
+        freq = float(rng.uniform(100, 1000))
+        x = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(len(t))
+        pcm = np.clip(x * 32767, -32768, 32767).astype("<i2")
+        rows["clip_id"].append(f"clip-{i:06d}")
+        rows["bytes"].append(pcm.tobytes())
+        rows["sample_rate"].append(sr)
+        rows["n_channels"].append(1)
+        rows["fmt"].append("pcm16-raw")
+        rows["caption"].append(f"clip {i}: {freq:.0f} Hz tone")
+    return pa.table(
+        {
+            "clip_id": pa.array(rows["clip_id"]),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "sample_rate": pa.array(rows["sample_rate"], pa.int32()),
+            "n_channels": pa.array(rows["n_channels"], pa.int32()),
+            "fmt": pa.array(rows["fmt"]),
+            "caption": pa.array(rows["caption"]),
+        },
+        schema=AUDIO_SCHEMA,
+    )
+
+
+def make_video_table(n: int, seed: int = 42, w: int = 32, h: int = 24, n_frames: int = 8) -> pa.Table:
+    from geo_polygonize_ray.sources.fixtures import make_scene
+
+    rows = {"video_id": [], "bytes": [], "caption": []}
+    for i in range(n):
+        frames = []
+        for f in range(n_frames):
+            img, _, _ = make_scene(seed * 31 + i * n_frames + f, w=w, h=h)
+            frames.append(img)
+        rows["video_id"].append(f"vid-{i:06d}")
+        rows["bytes"].append(np.stack(frames).tobytes())
+        rows["caption"].append(f"video {i}: {n_frames} synthetic frames")
+    return pa.table(
+        {
+            "video_id": pa.array(rows["video_id"]),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "w": pa.array(np.full(n, w, dtype=np.int32)),
+            "h": pa.array(np.full(n, h, dtype=np.int32)),
+            "n_frames": pa.array(np.full(n, n_frames, dtype=np.int32)),
+            "fmt": pa.array(["rgbseq-raw"] * n),
+            "caption": pa.array(rows["caption"]),
+        },
+        schema=VIDEO_SCHEMA,
+    )
+
+
+def audio_features_pipeline(table: pa.Table, concurrency=2) -> rd.Dataset:
+    ds = rd.from_arrow(table)
+    return ds.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=64, concurrency=concurrency, num_cpus=1
+    )
+
+
+def video_frame_pipeline(table: pa.Table, n_sample: int = 4, concurrency=2) -> rd.Dataset:
+    ds = rd.from_arrow(table)
+    return ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs=dict(n_sample=n_sample),
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
