@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_order_revenue": relational.q_hash_join_order_revenue,
         "events_hourly": relational.q_events_hourly,
         "events_user_stats": relational.q_events_user_stats,
+        "events_sessions": relational.q_events_sessions,
         # --- text analysis / dedup (SQL-checked where expressible) ---
         "token_counts": text.q_token_counts,
         "doc_stats_by_lang": text.q_doc_stats_by_lang,
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_join_order_revenue": relational.Q_HASH_JOIN_SQL,
         "events_hourly": relational.Q_EVENTS_SQL,
         "events_user_stats": relational.Q_EVENTS_USER_SQL,
+        "events_sessions": relational.Q_EVENTS_SESSIONS_SQL,
         "token_counts": text.Q_TOKEN_SQL,
         "doc_stats_by_lang": text.Q_DOC_STATS_SQL,
         "top_longest_docs": text.Q_TOP_LONGEST_SQL,

@@ -417,3 +417,59 @@ SELECT user_id, COUNT(*) AS n_events,
        ROUND(MAX(value), 4) AS max_value
 FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+def q_events_sessions(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
+    """Session windows per user (gap > 30 min starts a new session) —
+    the streaming-shaped operator family (ray_guide.md): partition by key,
+    sort by ts within the group, window with pandas.  Session identity
+    depends only on timestamp VALUES, so result is order-deterministic."""
+    from geo_polygonize_ray.functions import bucketed_groupby
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, g in group.groupby("user_id"):
+            g = g.sort_values("ts", kind="stable")
+            ts_us = g["ts"].astype("int64").to_numpy()
+            new_sess = np.concatenate([[0], (np.diff(ts_us) > gap_s * 1_000_000).astype(np.int64)])
+            sess_id = np.cumsum(new_sess)
+            gg = pd.DataFrame(
+                {"sess_id": sess_id, "value": g["value"].to_numpy(), "ts": g["ts"].to_numpy()}
+            )
+            agg = gg.groupby("sess_id", as_index=False).agg(
+                n_events=("value", "size"),
+                sum_value=("value", "sum"),
+                session_start=("ts", "min"),
+            )
+            agg.insert(0, "user_id", uid)
+            out.append(agg)
+        return pd.concat(out) if out else pd.DataFrame(
+            {"user_id": [], "sess_id": [], "n_events": [], "sum_value": [], "session_start": []}
+        )
+
+    out = bucketed_groupby(ds, "user_id", sessions).to_pandas()
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["sess_id"] = out["sess_id"].astype(np.int64)
+    out["sum_value"] = r4(out["sum_value"])
+    return out.sort_values(["user_id", "sess_id"]).reset_index(drop=True)
+
+
+Q_EVENTS_SESSIONS_SQL = """
+WITH d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM d
+)
+SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value, MIN(ts) AS session_start
+FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id
+"""

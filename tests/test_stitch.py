@@ -1,0 +1,64 @@
+"""Adaptive buffer escalation (J6 replacement): polygons larger than the
+initial tile buffer are still produced exactly."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from geo_polygonize_ray.config import PipelineConfig
+from geo_polygonize_ray.local import polygonize_lines
+from geo_polygonize_ray.sources.fixtures import grid_lines, linework_table
+from geo_polygonize_ray.stages.stitch import polygonize_dataset_adaptive
+
+
+def ls(*pts):
+    return np.array(pts, dtype=np.float64)
+
+
+def poly_keys(df):
+    return sorted(
+        (round(a, 6), round(len(sx), 0), nh)
+        for a, sx, nh in zip(df["area"], df["shell_xs"], df["n_holes"])
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAdaptiveEscalation:
+    def test_big_polygon_small_buffer(self):
+        """One 100x100 ring + fine grid in a corner; tile 10 with the default
+        small buffer would mis-handle the big ring — escalation resolves it."""
+        sq = lambda a, b: ls((a, a), (b, a), (b, b), (a, b), (a, a))
+        lines = [sq(0, 100), sq(0, 10), sq(2, 8)]
+        local = polygonize_lines(lines, node_input=True)
+        cfg = PipelineConfig(tile_size=10.0, tile_buffer=1.0)
+        ds = rd.from_arrow(linework_table(lines))
+        out = polygonize_dataset_adaptive(ds, cfg, bbox=(0, 0, 100, 100)).to_pandas()
+        assert sorted(round(a, 6) for a in out["area"]) == sorted(
+            round(p.area, 6) for p in local
+        )
+        assert sorted(out["n_holes"]) == sorted(len(p.holes_x) for p in local)
+
+    def test_grid_matches_plain_pipeline(self):
+        lines = grid_lines(12)
+        local = polygonize_lines(lines, node_input=True)
+        cfg = PipelineConfig(tile_size=4.0, tile_buffer=1.5)
+        ds = rd.from_arrow(linework_table(lines))
+        out = polygonize_dataset_adaptive(ds, cfg, bbox=(0, 0, 12, 12)).to_pandas()
+        assert len(out) == len(local) == 144
+        assert np.allclose(sorted(out["area"]), sorted(p.area for p in local))
+
+    def test_nested_giant_rings(self):
+        """Nested rings far larger than any tile: everything escalates to the
+        global round and still comes out exact."""
+        sq = lambda a, b: ls((a, a), (b, a), (b, b), (a, b), (a, a))
+        lines = [sq(0, 64), sq(8, 56), sq(16, 48)]
+        local = polygonize_lines(lines, node_input=True)
+        cfg = PipelineConfig(tile_size=8.0, tile_buffer=1.0)
+        ds = rd.from_arrow(linework_table(lines))
+        out = polygonize_dataset_adaptive(ds, cfg, bbox=(0, 0, 64, 64)).to_pandas()
+        assert sorted(round(a, 6) for a in out["area"]) == sorted(
+            round(p.area, 6) for p in local
+        )
+        assert sorted(out["n_holes"]) == sorted(len(p.holes_x) for p in local)
