@@ -73,11 +73,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygonize_random": geometry.q_polygonize_random,
         "polygonize_tiled": geometry.q_polygonize_tiled,
         "image_roundtrip": geometry.q_image_roundtrip,
+        "mosaic_polygonize": _q_mosaic_polygonize,
         # --- multimodal opaque-binary stages (rows-only) ---
         "audio_features": _q_audio_features,
         "video_frame_stats": _q_video_frame_stats,
         "image_resize": _q_image_resize,
     }
+
+
+def _q_mosaic_polygonize(sf_dir: str):
+    """North-star chain: image tiles placed on a global plane -> vectorize ->
+    seam join -> cell shuffle -> per-tile tracing; polygons can span images."""
+    import numpy as np
+
+    from geo_polygonize_ray.pipelines.mosaic import mosaic_polygonize
+    from geo_polygonize_ray.sources.fixtures import cached_image_table
+
+    out = mosaic_polygonize(cached_image_table(12), n_cols=4, n_rows=3).to_pandas()
+    out = out[["tile_id", "poly_id", "area", "cx", "cy", "n_holes"]].copy()
+    for c in ("area", "cx", "cy"):
+        out[c] = np.round(out[c], 6)
+    return out.sort_values(["tile_id", "area", "cx", "cy"]).reset_index(drop=True)
 
 
 def _q_audio_features(sf_dir: str):

@@ -1,0 +1,220 @@
+"""Mosaic pipeline — the full north-star chain in one DAG.
+
+Image+caption tiles are placed on a global plane (grid mosaic, image i at
+origin (col*w, row*h)); rasters are vectorized to line-work; line-work is
+spatial-cell-encoded and groupby-shuffled; each cell's subgraph is traced by
+the per-tile polygonizer; polygons may span image boundaries.
+
+The cross-image part is the SEAM JOIN: inside one image we cannot know
+whether the region continues into the neighbor, so
+  * per image, interior boundary linework is emitted directly (translated to
+    global coordinates), EXCLUDING borders shared with a neighbor;
+  * each shared border contributes an edge STRIP (the image's outermost
+    pixel row/column) keyed by a seam id shared with exactly one neighbor;
+  * a groupby(seam) stage compares the two strips and emits boundary
+    segments only where colors differ across the seam (mosaic-boundary
+    seams with a single strip emit their full border).
+
+T-junctions where interior edges meet seam runs are left to the per-tile
+snap noder (improper single-point intersections register splits), so the
+seam stage needs no knowledge of interior structure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from geo_polygonize_ray.config import PipelineConfig
+from geo_polygonize_ray.pipelines.polygonize import polygonize_dataset
+from geo_polygonize_ray.raster.codec import decode_image
+from geo_polygonize_ray.raster.vectorize import labels_to_linework, rgb_to_labels
+
+
+def _image_index(image_id: str) -> int:
+    return int(image_id.rsplit("-", 1)[1])
+
+
+class MosaicVectorizer:
+    """Per-image stage: decode -> labels -> interior linework (global
+    coords) + seam strips.  Emits a union table with a ``kind`` column:
+    'line' rows carry xs/ys; 'strip' rows carry seam_key/side/colors."""
+
+    def __init__(self, n_cols: int, n_rows: int):
+        self.n_cols = n_cols
+        self.n_rows = n_rows
+        self.__name__ = "MosaicVectorizer"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {
+            "kind": [],
+            "seam_key": [],
+            "side": [],
+            "colors": [],
+            "xs": [],
+            "ys": [],
+        }
+        for i in range(batch.num_rows):
+            img_idx = _image_index(batch["image_id"][i].as_py())
+            w = batch["w"][i].as_py()
+            h = batch["h"][i].as_py()
+            img = decode_image(batch["bytes"][i].as_py(), w, h, batch["fmt"][i].as_py())
+            labels = rgb_to_labels(img)
+            col, row = img_idx % self.n_cols, img_idx // self.n_cols
+            ox, oy = col * w, row * h
+
+            x0, y0, x1, y1 = labels_to_linework(labels)
+            # drop border runs on sides shared with a neighbor (the seam
+            # stage owns those); keep borders on the mosaic's outer edge
+            keep = np.ones(len(x0), dtype=bool)
+            if col > 0:
+                keep &= ~((x0 == 0) & (x1 == 0))
+            if col < self.n_cols - 1:
+                keep &= ~((x0 == w) & (x1 == w))
+            if row > 0:
+                keep &= ~((y0 == 0) & (y1 == 0))
+            if row < self.n_rows - 1:
+                keep &= ~((y0 == h) & (y1 == h))
+            for a, b, c, d in zip(x0[keep], y0[keep], x1[keep], y1[keep]):
+                out["kind"].append("line")
+                out["seam_key"].append(-1)
+                out["side"].append("")
+                out["colors"].append([])
+                out["xs"].append([float(a + ox), float(c + ox)])
+                out["ys"].append([float(b + oy), float(d + oy)])
+
+            # seam strips: vertical seam v(col,row) sits between (col-1,row)
+            # and (col,row); horizontal seam h(col,row) between (col,row-1)
+            # and (col,row).  Key encodes orientation + position.
+            def strip(key, side, colors, sx, sy):
+                out["kind"].append("strip")
+                out["seam_key"].append(key)
+                out["side"].append(side)
+                out["colors"].append([int(v) for v in colors])
+                out["xs"].append([float(sx)])
+                out["ys"].append([float(sy)])
+
+            # numeric seam keys (NEVER Python hash() of strings — salted per
+            # process): orientation bit | seam column | seam row
+            def vkey(c, r):
+                return (1 << 40) | (c << 20) | r
+
+            def hkey(c, r):
+                return (2 << 40) | (c << 20) | r
+
+            if col > 0:  # my left edge -> vertical seam at global x = ox
+                strip(vkey(col, row), "right", labels[:, 0], ox, oy)
+            if col < self.n_cols - 1:  # my right edge -> seam at ox + w
+                strip(vkey(col + 1, row), "left", labels[:, -1], ox + w, oy)
+            if row > 0:
+                strip(hkey(col, row), "bottom", labels[0, :], ox, oy)
+            if row < self.n_rows - 1:
+                strip(hkey(col, row + 1), "top", labels[-1, :], ox, oy + h)
+        return pa.table(
+            {
+                "kind": pa.array(out["kind"], pa.string()),
+                "seam_key": pa.array(out["seam_key"], pa.int64()),
+                "side": pa.array(out["side"], pa.string()),
+                "colors": pa.array(out["colors"], pa.list_(pa.int64())),
+                "xs": pa.array(out["xs"], pa.list_(pa.float64())),
+                "ys": pa.array(out["ys"], pa.list_(pa.float64())),
+            }
+        )
+
+
+def _seam_segments(group: pd.DataFrame) -> pd.DataFrame:
+    """One seam's strips (1 or 2) -> boundary segments where colors differ
+    across the seam (or everywhere, for single-strip mosaic edges)."""
+    rows = {"xs": [], "ys": []}
+    strips = list(group.itertuples())
+    if not strips:
+        return pd.DataFrame(rows)
+    a = np.asarray(strips[0].colors, dtype=np.int64)
+    if len(strips) >= 2:
+        b = np.asarray(strips[1].colors, dtype=np.int64)
+        diff = a != b
+    else:
+        diff = np.ones(len(a), dtype=bool)
+    # anchor point: both strips carry the seam's global anchor (same value)
+    sx = float(strips[0].xs[0])
+    sy = float(strips[0].ys[0])
+    vertical = strips[0].side in ("left", "right")
+    # maximal runs of differing cells -> merged segments along the seam
+    padded = np.concatenate([[False], diff, [False]])
+    d = np.diff(padded.astype(np.int8))
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    for s, e in zip(starts, ends):
+        if vertical:
+            rows["xs"].append([sx, sx])
+            rows["ys"].append([sy + float(s), sy + float(e)])
+        else:
+            rows["xs"].append([sx + float(s), sx + float(e)])
+            rows["ys"].append([sy, sy])
+    return pd.DataFrame(rows)
+
+
+def mosaic_polygonize(
+    image_table_path: str,
+    n_cols: int,
+    n_rows: int,
+    cfg: PipelineConfig | None = None,
+) -> rd.Dataset:
+    """image table -> global mosaic linework (interior + seam join) ->
+    distributed tiled polygonize -> polygons Dataset (may span images)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(image_table_path, columns=["w", "h"]).slice(0, 1)
+    w = meta["w"][0].as_py()
+    h = meta["h"][0].as_py()
+    bbox = (0.0, 0.0, float(n_cols * w), float(n_rows * h))
+    cfg = cfg or PipelineConfig(tile_size=float(w), tile_buffer=float(min(w, h)))
+
+    ds = rd.read_parquet(image_table_path)
+    # materialize: the vectorized linework (tiny relative to the images) is
+    # consumed by TWO branches (interior lines + seam strips); without
+    # pinning it each branch would re-run the decode actor pool, and two
+    # concurrent pools can starve a small cluster's CPUs
+    mixed = ds.map_batches(
+        MosaicVectorizer, fn_constructor_kwargs=dict(n_cols=n_cols, n_rows=n_rows),
+        batch_format="pyarrow", batch_size=16, concurrency=2, num_cpus=1,
+    ).materialize()
+
+    def to_arrow_lines(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "xs": pa.array([[float(v) for v in r] for r in df["xs"]], pa.list_(pa.float64())),
+                "ys": pa.array([[float(v) for v in r] for r in df["ys"]], pa.list_(pa.float64())),
+            }
+        )
+
+    lines = mixed.filter(expr="kind == 'line'").select_columns(["xs", "ys"])
+    strips = mixed.filter(expr="kind == 'strip'")
+    seam_lines = (
+        strips.groupby("seam_key")
+        .map_groups(_seam_segments, batch_format="pandas")
+        # normalize to Arrow blocks: the union partner is Arrow, and mixed
+        # block types break downstream batchers
+        .map_batches(to_arrow_lines, batch_format="pandas")
+    )
+    linework = lines.union(seam_lines)
+    return polygonize_dataset(linework, cfg, bbox=bbox)
+
+
+def assemble_mosaic_labels(image_table_path: str, n_cols: int, n_rows: int) -> np.ndarray:
+    """Driver-side ground truth: the full mosaic label image (tests only)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(image_table_path)
+    w = t["w"][0].as_py()
+    h = t["h"][0].as_py()
+    big = np.zeros((n_rows * h, n_cols * w), dtype=np.int32)
+    for i in range(t.num_rows):
+        idx = _image_index(t["image_id"][i].as_py())
+        img = decode_image(t["bytes"][i].as_py(), w, h, t["fmt"][i].as_py())
+        col, row = idx % n_cols, idx // n_cols
+        big[row * h : (row + 1) * h, col * w : (col + 1) * w] = rgb_to_labels(img)
+    return big
