@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": text.q_simhash,
         "fingerprints": text.q_fingerprints,
         "minhash_lsh_pairs": text.minhash_lsh_pairs,
+        "minhash_dedup_groups": text.minhash_dedup_groups,
         "ngram_jaccard_pairs": text.ngram_jaccard_pairs,
         # --- similarity search (brute-force SQL-checked; IVF rows-only) ---
         "ann_topk": ann.q_ann_topk,

@@ -363,6 +363,38 @@ def minhash_lsh_pairs(
     return res
 
 
+def minhash_dedup_groups(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFrame:
+    """Near-duplicate GROUPS: connected components over the MinHash-LSH pair
+    graph (min-label propagation / union-find on the driver — the candidate
+    pair set is provably small relative to the corpus; at 10^12 scale this
+    becomes a few rounds of groupby min-label propagation).
+
+    Returns (doc_id, group_id) where group_id = min doc_id of the component;
+    singletons map to themselves.
+    """
+    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold=jaccard_threshold)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+
+    for r in pairs.itertuples():
+        union(int(r.doc_a), int(r.doc_b))
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).to_pandas()
+    docs["group_id"] = [find(int(d)) for d in docs["doc_id"]]
+    return docs.sort_values("doc_id").reset_index(drop=True)
+
+
 class SimHasher:
     """64-bit SimHash over word features (weighted by term frequency)."""
 

@@ -1,0 +1,35 @@
+"""Locked goldens for the numpy-seeded random workloads (FIXTURES.md §4).
+
+The reference seeds Rust StdRng(42), whose stream is not reproducible in
+numpy; these counts/areas were derived once from numpy default_rng(42) and
+are now locked — any change in noding/tracing/assembly semantics shows up
+here.  (Reference scale anchors for the same K: 281 / 1066 / 4266 polygons
+with Rust's stream, python_bench_output.txt:13-15.)"""
+
+import pytest
+
+from geo_polygonize_ray.local import polygonize_lines
+from geo_polygonize_ray.sources.fixtures import grid_lines, random_lines
+
+RANDOM_GOLDENS = {
+    # k: (n_polys, total_area rounded 4dp)
+    50: (153, 4263.3898),
+    100: (863, 6057.7554),
+    200: (3633, 7440.61),
+}
+
+
+@pytest.mark.parametrize("k", sorted(RANDOM_GOLDENS))
+def test_random_golden(k):
+    polys = polygonize_lines(random_lines(k, seed=42), node_input=True)
+    n, area = RANDOM_GOLDENS[k]
+    assert len(polys) == n
+    assert round(sum(p.area for p in polys), 4) == pytest.approx(area, abs=1e-3)
+
+
+@pytest.mark.parametrize("n", [5, 10, 20, 50])
+def test_grid_golden(n):
+    # RNG-free golden reused verbatim from the reference/GEOS oracle: N^2
+    polys = polygonize_lines(grid_lines(n), node_input=True)
+    assert len(polys) == n * n
+    assert all(abs(p.area - 1.0) < 1e-9 for p in polys)
