@@ -52,6 +52,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.q_events_hourly,
         "events_user_stats": relational.q_events_user_stats,
         "events_sessions": relational.q_events_sessions,
+        "orders_by_month": relational.q_orders_by_month,
+        "supplier_nation": relational.q_supplier_nation,
+        "part_type_stats": relational.q_part_type_stats,
         # --- text analysis / dedup (SQL-checked where expressible) ---
         "token_counts": text.q_token_counts,
         "doc_stats_by_lang": text.q_doc_stats_by_lang,
@@ -142,6 +145,9 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": relational.Q_EVENTS_SQL,
         "events_user_stats": relational.Q_EVENTS_USER_SQL,
         "events_sessions": relational.Q_EVENTS_SESSIONS_SQL,
+        "orders_by_month": relational.Q_ORDERS_MONTH_SQL,
+        "supplier_nation": relational.Q_SUPPLIER_NATION_SQL,
+        "part_type_stats": relational.Q_PART_TYPE_SQL,
         "token_counts": text.Q_TOKEN_SQL,
         "doc_stats_by_lang": text.Q_DOC_STATS_SQL,
         "top_longest_docs": text.Q_TOP_LONGEST_SQL,

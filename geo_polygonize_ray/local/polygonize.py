@@ -56,7 +56,21 @@ class Polygon:
         return abs(a)
 
     def centroid(self) -> tuple[float, float]:
-        return ring_centroid(self.shell_x, self.shell_y)
+        """Area-weighted centroid INCLUDING holes (geo's Polygon::centroid
+        semantics used for tiling ownership at src/tiling.rs:90): the hole
+        regions' first moments are subtracted from the shell's."""
+        sx, sy = ring_centroid(self.shell_x, self.shell_y)
+        a = abs(signed_area(self.shell_x[:-1], self.shell_y[:-1]))
+        mx, my, atot = sx * a, sy * a, a
+        for hx, hy in zip(self.holes_x, self.holes_y):
+            ha = abs(signed_area(hx[:-1], hy[:-1]))
+            hcx, hcy = ring_centroid(hx, hy)
+            mx -= hcx * ha
+            my -= hcy * ha
+            atot -= ha
+        if atot == 0.0:
+            return sx, sy
+        return mx / atot, my / atot
 
 
 def dedup_linestrings(lines: list[np.ndarray]) -> list[np.ndarray]:
@@ -326,12 +340,9 @@ def assemble_flat(
     area (residual), cx, cy (shell-ring centroid), n_holes.
 
     ``owner_rect`` applies the tiling sliver + half-open [min,max)
-    centroid-ownership filter (src/tiling.rs:95-106).  NOTE: ownership and
-    the emitted centroid use the SHELL-ring centroid; the reference's
-    ``poly.centroid()`` includes holes, which can shift the probe point for
-    hole-bearing polygons near tile edges — both rules are deterministic
-    exactly-once partitions, and distributed==local equivalence is asserted
-    in tests under the buffer contract.
+    centroid-ownership filter (src/tiling.rs:95-106); ownership and the
+    emitted cx/cy use the polygon centroid INCLUDING holes (geo's
+    ``poly.centroid()`` semantics, src/tiling.rs:90).
     """
     empty = dict(
         shell_values_x=np.empty(0),
@@ -362,8 +373,19 @@ def assemble_flat(
         np.subtract.at(residual, assigned[valid_h], np.abs(areas[hole_ids[valid_h]]))
 
     keep = np.abs(residual) > 1e-6  # src/polygonizer.rs:256
-    s_cx = cx_all[shells]
-    s_cy = cy_all[shells]
+
+    # polygon centroid INCLUDING holes (geo parity, used for ownership at
+    # src/tiling.rs:90): subtract hole first-moments from the shell's
+    m_x = cx_all[shells] * shell_areas
+    m_y = cy_all[shells] * shell_areas
+    if valid_h.any():
+        h_rids = hole_ids[valid_h]
+        ha = np.abs(areas[h_rids])
+        np.subtract.at(m_x, assigned[valid_h], cx_all[h_rids] * ha)
+        np.subtract.at(m_y, assigned[valid_h], cy_all[h_rids] * ha)
+    safe = np.where(residual != 0.0, residual, 1.0)
+    s_cx = np.where(residual != 0.0, m_x / safe, cx_all[shells])
+    s_cy = np.where(residual != 0.0, m_y / safe, cy_all[shells])
     if owner_rect is not None:
         tx0, ty0, tx1, ty1 = owner_rect
         keep &= (s_cx >= tx0) & (s_cx < tx1) & (s_cy >= ty0) & (s_cy < ty1)

@@ -456,6 +456,100 @@ def q_events_sessions(sf_dir: str, gap_s: int = 1800) -> pd.DataFrame:
     return out.sort_values(["user_id", "sess_id"]).reset_index(drop=True)
 
 
+def q_orders_by_month(sf_dir: str) -> pd.DataFrame:
+    """Orders per calendar month (date_trunc family)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["month"] = df["o_orderdate"].dt.strftime("%Y-%m")
+        g = df.groupby("month", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), total=("o_totalprice", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from geo_polygonize_ray.functions import bucketed_groupby
+
+    out = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "month",
+        lambda g: g.groupby("month", as_index=False).agg(
+            n_orders=("n_orders", "sum"), total=("total", "sum")
+        ),
+    ).to_pandas()
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["total"] = r4(out["total"])
+    return out.sort_values("month").reset_index(drop=True)
+
+
+Q_ORDERS_MONTH_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total
+FROM orders GROUP BY month ORDER BY month
+"""
+
+
+def q_supplier_nation(sf_dir: str) -> pd.DataFrame:
+    """Supplier account balances by nation (broadcast dimension join)."""
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def join(batch: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        df = batch.to_pandas()
+        df["n_name"] = df["s_nationkey"].map(nmap)
+        g = df.groupby("n_name", as_index=False).agg(
+            n_suppliers=("s_suppkey", "size"), sum_acctbal=("s_acctbal", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+        .map_batches(join, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("n_suppliers", alias_name="n_suppliers"), Sum("sum_acctbal", alias_name="sum_acctbal"))
+        .to_pandas()
+    )
+    out["n_suppliers"] = out["n_suppliers"].astype(np.int64)
+    out["sum_acctbal"] = r4(out["sum_acctbal"])
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+Q_SUPPLIER_NATION_SQL = """
+SELECT n_name, COUNT(*) AS n_suppliers, ROUND(SUM(s_acctbal), 4) AS sum_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_part_type_stats(sf_dir: str) -> pd.DataFrame:
+    from geo_polygonize_ray.functions import bucketed_groupby
+
+    ds = _read(sf_dir, "part", columns=["p_type", "p_retailprice", "p_size"])
+    out = bucketed_groupby(
+        ds,
+        "p_type",
+        lambda g: g.groupby("p_type", as_index=False).agg(
+            n_parts=("p_size", "size"),
+            sum_price=("p_retailprice", "sum"),
+            max_size=("p_size", "max"),
+        ),
+    ).to_pandas()
+    out["n_parts"] = out["n_parts"].astype(np.int64)
+    out["max_size"] = out["max_size"].astype(np.int32)
+    out["sum_price"] = r4(out["sum_price"])
+    return out.sort_values("p_type").reset_index(drop=True)
+
+
+Q_PART_TYPE_SQL = """
+SELECT p_type, COUNT(*) AS n_parts, ROUND(SUM(p_retailprice), 4) AS sum_price,
+       MAX(p_size) AS max_size
+FROM part GROUP BY p_type ORDER BY p_type
+"""
+
+
 Q_EVENTS_SESSIONS_SQL = """
 WITH d AS (
   SELECT user_id, ts, value,
