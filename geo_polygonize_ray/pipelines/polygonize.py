@@ -134,7 +134,12 @@ def polygonize_dataset(
     n_buckets = max(2, min(n_tiles, n_cpus * 4))
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = (t["tile_id"].to_numpy() % n_buckets).astype(np.int64)
+        # MIX the key before the modulo: salted leaf ids are tile*64+sub, so
+        # a bare `% n_buckets` collapses onto multiples of gcd(64, n_buckets)
+        # (measured: the whole trace stage ran in 2 buckets = 5x regression)
+        tid = t["tile_id"].to_numpy().astype(np.uint64)
+        mixed = tid * np.uint64(0x9E3779B97F4A7C15)
+        b = ((mixed >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int64)
         return t.append_column("bucket", pa.array(b))
 
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")

@@ -196,8 +196,13 @@ def polygonize_dataset_adaptive(
         n_buckets = max(2, n_cpus * 4)
 
         def add_bucket(t: pa.Table, _nb=n_buckets) -> pa.Table:
+            # mixed hash, not bare modulo: leaf ids are tile*64+sub (see
+            # pipelines/polygonize.py add_bucket for the collapse this avoids)
+            tid = t["tile_id"].to_numpy().astype(np.uint64)
+            mixed = tid * np.uint64(0x9E3779B97F4A7C15)
             return t.append_column(
-                "bucket", pa.array((t["tile_id"].to_numpy() % _nb).astype(np.int64))
+                "bucket",
+                pa.array(((mixed >> np.uint64(33)) % np.uint64(_nb)).astype(np.int64)),
             )
 
         work = work.map_batches(add_bucket, batch_format="pyarrow")
