@@ -329,6 +329,52 @@ def snap_to_grid(c: np.ndarray, grid_size: float) -> np.ndarray:
 # geo::line_intersection semantics as consumed at src/noding/snap.rs:140-167
 # ---------------------------------------------------------------------------
 
+def clip_segments_to_rect(
+    x0: np.ndarray,
+    y0: np.ndarray,
+    x1: np.ndarray,
+    y1: np.ndarray,
+    rect: tuple[float, float, float, float],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Liang-Barsky clip of a segment soup to a closed rectangle, vectorized.
+
+    Used per tile to bound noding/tracing work by the LOCAL window instead of
+    the global extent of duplicated lines: faces fully inside the window are
+    unaffected (all their linework and intersections are local — same
+    soundness argument as stages/stitch.py), and faces touching the clip
+    boundary were never owned/trusted by this tile anyway.
+    """
+    rx0, ry0, rx1, ry1 = rect
+    x0 = np.asarray(x0, dtype=np.float64)
+    y0 = np.asarray(y0, dtype=np.float64)
+    x1 = np.asarray(x1, dtype=np.float64)
+    y1 = np.asarray(y1, dtype=np.float64)
+    dx = x1 - x0
+    dy = y1 - y0
+    t0 = np.zeros(len(x0))
+    t1 = np.ones(len(x0))
+    ok = np.ones(len(x0), dtype=bool)
+    for p, q in (
+        (-dx, x0 - rx0),
+        (dx, rx1 - x0),
+        (-dy, y0 - ry0),
+        (dy, ry1 - y0),
+    ):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = q / p
+        par_out = (p == 0) & (q < 0)  # parallel and outside
+        ok &= ~par_out
+        ent = p < 0  # entering
+        t0 = np.where(ent & ~par_out, np.maximum(t0, r), t0)
+        t1 = np.where((p > 0) & ~par_out, np.minimum(t1, r), t1)
+    ok &= t0 <= t1
+    cx0 = np.where(t0 > 0, x0 + t0 * dx, x0)
+    cy0 = np.where(t0 > 0, y0 + t0 * dy, y0)
+    cx1 = np.where(t1 < 1, x0 + t1 * dx, x1)
+    cy1 = np.where(t1 < 1, y0 + t1 * dy, y1)
+    return cx0[ok], cy0[ok], cx1[ok], cy1[ok]
+
+
 # classification codes
 NO_INTERSECTION = 0
 SINGLE_POINT = 1

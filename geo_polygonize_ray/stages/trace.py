@@ -171,14 +171,6 @@ class TilePolygonizer:
 
     def _polygonize_tile_table(self, lines: list[np.ndarray], tile_id: int) -> pa.Table:
         """One tile -> Arrow polygons (flat assembly, no per-poly Python)."""
-        if self.node_input:
-            lines = dedup_linestrings(lines)
-            x0, y0, x1, y1 = explode_to_segments(lines)
-            noder = SnapNoder(self.snap_grid_size, self.max_noding_iters)
-            x0, y0, x1, y1 = noder.node(x0, y0, x1, y1)
-        else:
-            x0, y0, x1, y1 = explode_to_segments(lines)
-        fx, fy, offs = trace_rings(x0, y0, x1, y1)
         if self.ownership and self.assigner is not None:
             # salted assigners key groups by leaf id; plain ones by tile id
             if hasattr(self.assigner, "leaf_rect"):
@@ -187,5 +179,27 @@ class TilePolygonizer:
                 owner_rect = self.assigner.tile_rect(tile_id)
         else:
             owner_rect = None
+        if self.node_input:
+            lines = dedup_linestrings(lines)
+            x0, y0, x1, y1 = explode_to_segments(lines)
+            if owner_rect is not None:
+                # clip duplicated full-length lines to the buffered window so
+                # per-tile work is bounded by the LOCAL extent (faces fully
+                # inside the window are unaffected — kernels.clip docstring)
+                buf = self.assigner.buffer
+                window = (
+                    owner_rect[0] - buf,
+                    owner_rect[1] - buf,
+                    owner_rect[2] + buf,
+                    owner_rect[3] + buf,
+                )
+                from geo_polygonize_ray.geom.kernels import clip_segments_to_rect
+
+                x0, y0, x1, y1 = clip_segments_to_rect(x0, y0, x1, y1, window)
+            noder = SnapNoder(self.snap_grid_size, self.max_noding_iters)
+            x0, y0, x1, y1 = noder.node(x0, y0, x1, y1)
+        else:
+            x0, y0, x1, y1 = explode_to_segments(lines)
+        fx, fy, offs = trace_rings(x0, y0, x1, y1)
         flat = assemble_flat(fx, fy, offs, owner_rect=owner_rect)
         return flat_to_table(flat, tile_id)
