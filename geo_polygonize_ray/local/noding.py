@@ -85,8 +85,12 @@ def _candidate_pairs(x0, y0, x1, y1) -> tuple[np.ndarray, np.ndarray]:
     j = seg_ids[b_idx]
     lo = np.minimum(i, j)
     hi = np.maximum(i, j)
-    pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
-    i, j = pairs[:, 0], pairs[:, 1]
+    # dedup via a single int key (1-D unique on ints is ~10x faster than
+    # the void-view sort of np.unique(..., axis=0))
+    key = lo * np.int64(n) + hi
+    uk = np.unique(key)
+    i = uk // n
+    j = uk % n
     # exact AABB filter (closed intervals, like rstar's envelope intersection)
     ok = (
         (minx[i] <= maxx[j])
@@ -223,12 +227,24 @@ class SnapNoder:
 def _canonicalize_dedup(nx0, ny0, nx1, ny1):
     """Canonical direction (start < end lexicographically with the
     reference's 1e-12 x-tolerance, snap.rs:88-95), then sort + dedup
-    identical segments (snap.rs:96-101)."""
+    identical segments (snap.rs:96-101).  lexsort + adjacent-compare is
+    ~10x faster than np.unique(axis=0)'s void-view sort."""
     swap = (nx0 > nx1) | ((np.abs(nx0 - nx1) < 1e-12) & (ny0 > ny1))
     tx0 = np.where(swap, nx1, nx0)
     ty0 = np.where(swap, ny1, ny0)
     tx1 = np.where(swap, nx0, nx1)
     ty1 = np.where(swap, ny0, ny1)
-    rows = np.stack([tx0, ty0, tx1, ty1], axis=1)
-    rows = np.unique(rows, axis=0)
-    return rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3]
+    n = len(tx0)
+    if n == 0:
+        return tx0, ty0, tx1, ty1
+    order = np.lexsort((ty1, tx1, ty0, tx0))
+    tx0, ty0, tx1, ty1 = tx0[order], ty0[order], tx1[order], ty1[order]
+    keep = np.empty(n, dtype=bool)
+    keep[0] = True
+    keep[1:] = (
+        (tx0[1:] != tx0[:-1])
+        | (ty0[1:] != ty0[:-1])
+        | (tx1[1:] != tx1[:-1])
+        | (ty1[1:] != ty1[:-1])
+    )
+    return tx0[keep], ty0[keep], tx1[keep], ty1[keep]
