@@ -139,8 +139,9 @@ def run_bench() -> dict:
 
 def run_headline_only() -> dict:
     """The scaling-criterion workload: ONLY the headline distributed tiled
-    polygonize pipeline as one large job (grid(1600) -> 2.56M polygons,
-    1024 tiles), on identical input at whatever RAY_GRAFT_CPUS says.  Small
+    polygonize pipeline as one large job (default grid(3200) -> 10.2M
+    polygons, 4096 tiles), on identical input at whatever RAY_GRAFT_CPUS
+    says.  Small
     overhead-bound side queries (tiny ANN / LSH on 5k docs) are excluded on
     purpose: the cluster-size criterion is about the engine's scalable path,
     and at real data sizes those stages are compute-dominated too.
@@ -170,7 +171,7 @@ def run_headline_only() -> dict:
         bbox=(0, 0, 64, 64),
     ).count()
 
-    n = int(os.environ.get("GRAFT_SCALING_GRID", "1600"))
+    n = int(os.environ.get("GRAFT_SCALING_GRID", "3200"))
     t0 = time.perf_counter()
     ds = rd.from_arrow(linework_table(grid_lines(n)))
     cfg = PipelineConfig(tile_size=50.0, tile_buffer=2.0)
@@ -212,7 +213,7 @@ def run_scaling() -> None:
         json.dumps(
             {
                 "metric": f"scaling efficiency (N={lo} vs 4N={hi} cpus, same input, "
-                "headline tiled polygonize grid(1600))",
+                "headline tiled polygonize grid(" + os.environ.get("GRAFT_SCALING_GRID", "3200") + "))",
                 f"sec_{lo}": r_lo["value"],
                 f"sec_{hi}": r_hi["value"],
                 f"throughput_{lo}": r_lo["polys_plus_tiles_per_sec"],

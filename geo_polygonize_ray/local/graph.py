@@ -249,6 +249,87 @@ class PlanarGraph:
             nxt[group_last] = kept[group_first]
             next_ptr[kept] = nxt
 
+        de_marked = self.de_marked
+        de_src = self.de_src
+        de_dst = self.de_dst
+        nx, ny = self.nodes_x, self.nodes_y
+
+        # walk permutation: step(e) = next_ptr[sym(e)] (planar_graph.rs:525-526).
+        # After complete dangle pruning every unmarked half-edge has a
+        # successor and `step` is a bijection on the unmarked set (sym is an
+        # involution pairing marked edges together; succ is cyclic per node),
+        # so the ring set is EXACTLY the cycle decomposition of `step` and
+        # no "invalid walk" can occur.  That makes the trace vectorizable:
+        # cycle leaders via min-label pointer doubling, in-cycle ranks via
+        # list ranking — O(n log n) numpy instead of a per-edge Python loop.
+        live = np.flatnonzero(~de_marked)
+        if len(live) == 0:
+            return (
+                np.empty(0, dtype=np.float64),
+                np.empty(0, dtype=np.float64),
+                np.zeros(1, dtype=np.int64),
+            )
+        step_all = next_ptr[live ^ 1]
+        if np.any(step_all == NONE):
+            # incomplete pruning (API misuse): fall back to the scalar walk
+            return self._get_edge_rings_scalar(next_ptr)
+
+        # compact to local indices over the live set
+        local = np.full(n_de, -1, dtype=np.int64)
+        local[live] = np.arange(len(live))
+        nxt = local[step_all]  # permutation over live edges
+
+        # cycle leader = min ORIGINAL edge id in the cycle (reference emits
+        # rings in order of their smallest unvisited half-edge id)
+        lab = live.copy()
+        jump = nxt.copy()
+        m = len(live)
+        steps = 1
+        while steps < m:
+            lab = np.minimum(lab, lab[jump])
+            jump = jump[jump]
+            steps <<= 1
+
+        # rank within cycle from the leader via list ranking: break each
+        # cycle just before its leader, then distance-to-terminal doubling
+        leader_local = local[lab]  # local idx of each edge's cycle leader
+        prev = np.empty(m, dtype=np.int64)
+        prev[nxt] = np.arange(m)
+        ptr = nxt.copy()
+        ptr[prev[leader_local]] = prev[leader_local]  # terminal self-loop at cycle end
+        dist = np.where(ptr == np.arange(m), 0, 1).astype(np.int64)
+        steps = 1
+        while steps < m:
+            dist = dist + dist[ptr]
+            ptr = ptr[ptr]
+            steps <<= 1
+        # dist = #steps to cycle end; rank from leader = cycle_len - 1 - dist
+        ring_sizes = np.bincount(leader_local, minlength=m)
+        rank = ring_sizes[leader_local] - 1 - dist
+
+        # order rings by leader edge id, edges by rank within ring
+        order = np.lexsort((rank, lab))
+        ordered_edges = live[order]
+        ordered_leaders = lab[order]
+        starts_mask = np.concatenate([[True], ordered_leaders[1:] != ordered_leaders[:-1]])
+        ring_starts = np.flatnonzero(starts_mask)
+        sizes = np.diff(np.concatenate([ring_starts, [m]]))
+
+        # coords: ring k = src(first edge) + dst(each edge in order)
+        n_rings = len(ring_starts)
+        total = m + n_rings
+        offsets = np.concatenate([[0], np.cumsum(sizes + 1)]).astype(np.int64)
+        all_nodes = np.empty(total, dtype=np.int64)
+        all_nodes[offsets[:-1]] = de_src[ordered_edges[ring_starts]]
+        pos = np.arange(m) + np.repeat(np.arange(1, n_rings + 1), sizes)
+        all_nodes[pos] = de_dst[ordered_edges]
+        return nx[all_nodes], ny[all_nodes], offsets
+
+    def _get_edge_rings_scalar(self, next_ptr: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Reference-literal scalar walk (planar_graph.rs:511-558), used when
+        the graph was not fully pruned and dead-end walks must be discarded."""
+        NONE = np.int64(-1)
+        n_de = 2 * self.n_edges
         visited = np.zeros(n_de, dtype=bool)
         de_marked = self.de_marked
         de_src = self.de_src
@@ -256,7 +337,6 @@ class PlanarGraph:
         nx, ny = self.nodes_x, self.nodes_y
 
         ring_node_lists: list[np.ndarray] = []
-
         ring_edges: list[int] = []
         for start in range(n_de):
             if visited[start] or de_marked[start]:
@@ -267,7 +347,7 @@ class PlanarGraph:
             while True:
                 visited[curr] = True
                 ring_edges.append(curr)
-                nxt = next_ptr[curr ^ 1]  # next after the incoming sym edge
+                nxt = next_ptr[curr ^ 1]
                 if nxt == NONE:
                     valid = False
                     break
