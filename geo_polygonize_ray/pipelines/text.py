@@ -263,6 +263,17 @@ class MinHasher:
         return "MinHasher"
 
 
+_MINHASHER: "MinHasher | None" = None
+
+
+def _minhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Stateless-task wrapper with a per-worker cached MinHasher."""
+    global _MINHASHER
+    if _MINHASHER is None:
+        _MINHASHER = MinHasher()
+    return _MINHASHER(batch)
+
+
 def _band_keys(sig_matrix: np.ndarray, bands: int) -> np.ndarray:
     """(n, n_perm) uint64 signatures -> (n, bands) uint64 band-bucket keys
     via a vectorized FNV-style mix (no per-row hashing loops)."""
@@ -294,8 +305,10 @@ def minhash_lsh_pairs(
     # (bucket counts, candidate filter, verification) — without pinning it
     # in the object store each consumer would recompute the MinHash pass.
     # At 100 TB scale this would be a parquet checkpoint instead.
+    # Stateless tasks (worker-cached hasher) beat a dedicated actor pool:
+    # the per-actor spawn cost dwarfs the trivial seed-array init.
     sigs = ds.map_batches(
-        MinHasher, batch_format="pandas", batch_size=512, concurrency=2
+        _minhash_batch, batch_format="pandas", batch_size=256
     ).materialize()
 
     def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
