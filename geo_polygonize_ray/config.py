@@ -24,21 +24,16 @@ class PipelineConfig:
     # --- tiling config (src/tiling.rs:16-29) ---
     tile_size: float = 0.0          # <= 0 means "one tile" (untiled)
     tile_buffer: float = 0.0
-    # Salting: a tile whose assigned linework count exceeds this is recursively
-    # quartered (one more Morton level) before the shuffle; 0 disables.
+    # Salting: a tile whose assigned linework count exceeds this is split
+    # k x k (k from the count ratio, capped at 8) before the shuffle;
+    # 0 disables.  See stages/linework.SaltedTileAssigner.
     salt_threshold: int = 0
-    max_salt_depth: int = 4
 
     # --- Ray execution knobs ---
     batch_size: int | None = 4096
-    trace_concurrency: int | tuple[int, int] | None = None  # actor pool size for per-cell tracing
-    num_cpus_per_trace_actor: float = 1.0
 
     # --- image pipeline ---
     psnr_threshold_db: float = 40.0
-
-    # --- checkpointing ---
-    checkpoint_dir: str | None = None
 
     def tiled(self) -> bool:
         return self.tile_size > 0.0

@@ -19,7 +19,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
-import ray.data as rd
+
 
 from geo_polygonize_ray.pipelines.relational import _read, r4
 
@@ -47,7 +47,6 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 def _query_vector(sf_dir: str, query_vec_id: int) -> np.ndarray:
     """Driver-side point lookup of one embedding (pyarrow row-group filter —
     a tiny indexed read, not a Ray job)."""
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     t = pq.read_table(

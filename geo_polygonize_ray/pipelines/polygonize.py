@@ -3,10 +3,11 @@
 Dataset-first expression of the reference's ``TiledPolygonizer``:
 
     linework Dataset (plane_id, line_id, xs, ys)
-      -> map_batches(TileAssigner)            # buffered-tile duplication (J5)
-      -> groupby("tile_id")                   # THE shuffle
-      -> map_groups(TilePolygonizer)          # per-tile §3.1, actor pool (ST3)
-         [sliver + centroid-ownership filter inside, A8]
+      -> map_batches(SaltedTileAssigner)      # buffered-tile duplication (J5)
+      -> groupby(bucket of tile_id)           # THE shuffle (tiles bucketed to
+                                              # ~4x cores: Ray's per-group cost)
+      -> map_groups(TilePolygonizer)          # per-tile §3.1 (ST3); window-
+         [clip, sliver + ownership, A8]       # clipped so work is local
       -> polygons Dataset
 
 The ownership rule makes the buffered duplication exactly-once: every
@@ -18,9 +19,9 @@ distributed-vs-local mismatches (tested in tests/test_distributed.py).
 Scale notes (100 TB thinking):
   * the shuffle payload is the duplicated linework, never image bytes —
     payload columns are dropped before the groupby (SURVEY.md §7.3);
-  * skewed tiles are handled by adaptive refinement (salting): a pre-pass
-    counts rows per tile and over-full tiles are recursively quartered, so
-    no single map_groups call exceeds the salt threshold;
+  * skewed tiles are handled by salting: a pre-pass counts rows per tile
+    and over-full tiles are split k x k (k from the count ratio, capped 8),
+    so no single tile's group explodes;
   * per-tile compute is independent -> linear scaling with cores/nodes.
 """
 
@@ -42,7 +43,6 @@ from geo_polygonize_ray.stages.linework import (
 from geo_polygonize_ray.stages.trace import (
     POLYGON_SCHEMA,
     TilePolygonizer,
-    polygons_to_table,
     table_to_polygons,
 )
 

@@ -20,7 +20,6 @@ from geo_polygonize_ray.local.polygonize import (
     assemble_flat,
     dedup_linestrings,
     explode_to_segments,
-    polygonize_lines,
     trace_rings,
 )
 from geo_polygonize_ray.stages.linework import TileAssigner, _list_bounds
@@ -121,8 +120,9 @@ def table_to_polygons(t: pa.Table) -> list[Polygon]:
 class TilePolygonizer:
     """map_groups payload: one buffered tile's linework -> owned polygons.
 
-    Instantiated once per actor (the actor-pool pattern ST3); per-call state
-    (graph arenas) is local numpy.
+    Runs as stateless tasks by default (construction is trivial, so tasks
+    reuse the shared worker pool; see pipelines/images.py for the same
+    trade-off); per-call state (graph arenas) is local numpy.
     """
 
     def __init__(
