@@ -64,3 +64,36 @@ def test_closed_grid_of_random_offsets(n, seed):
     polys = polygonize_lines(lines, node_input=True)
     assert len(polys) == n * n
     assert np.allclose(sorted(p.area for p in polys), s * s, rtol=1e-9)
+
+
+class TestDistributedEquivalenceFuzz:
+    """Random soups + random tile configs: distributed == local, always.
+    (Plain parametrized randomness rather than hypothesis: each example runs
+    a Ray pipeline, so we keep the count small and the seeds fixed.)"""
+
+    import pytest as _pytest
+
+    @_pytest.mark.usefixtures("ray_session")
+    @_pytest.mark.parametrize("seed", [3, 11, 29, 47])
+    def test_random_soup_any_tiling(self, seed):
+        from geo_polygonize_ray.config import PipelineConfig
+        from geo_polygonize_ray.pipelines.polygonize import polygonize_lines_distributed
+
+        rng = np.random.default_rng(seed)
+        k = int(rng.integers(20, 60))
+        pts = rng.uniform(0, 100, (k, 2, 2))
+        lines = [pts[i] for i in range(k)]
+        local = polygonize_lines(lines, node_input=True)
+        tile = float(rng.uniform(15, 40))
+        cfg = PipelineConfig(tile_size=tile, tile_buffer=120.0)  # buffer > domain
+        dist = polygonize_lines_distributed(lines, cfg, bbox=(0, 0, 100, 100))
+
+        def key(p):
+            return (
+                round(p.area, 9),
+                round(float(p.shell_x.min()), 9),
+                round(float(p.shell_y.max()), 9),
+                len(p.holes_x),
+            )
+
+        assert sorted(map(key, dist)) == sorted(map(key, local))
