@@ -224,16 +224,17 @@ def q_filter_project(sf_dir: str) -> pd.DataFrame:
 
     def f(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.greater(batch["l_quantity"], 45.0))
-        rev = pc.round(
-            pc.multiply(batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"])),
-            ndigits=4,
-        )
+        v = pc.multiply(batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"]))
+        # per-row money in integer 1e-4 units: the decimal product is exact to
+        # 4 places, so nearest-int is mode-independent and bit-stable across
+        # engines (float ROUND implementations differ in the last ulp)
+        rev_e4 = pc.cast(pc.round(pc.multiply(v, 10000.0), ndigits=0), pa.int64())
         return pa.table(
             {
                 "l_orderkey": batch["l_orderkey"],
                 "l_linenumber": batch["l_linenumber"],
                 "l_quantity": batch["l_quantity"],
-                "revenue": rev,
+                "revenue_e4": rev_e4,
             }
         )
 
@@ -242,9 +243,10 @@ def q_filter_project(sf_dir: str) -> pd.DataFrame:
 
 Q_FILTER_SQL = """
 SELECT l_orderkey, l_linenumber, l_quantity,
-       ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue
+       CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT) AS revenue_e4
 FROM lineitem WHERE l_quantity > 45
 """
+
 
 
 # ---------------------------------------------------------------------------

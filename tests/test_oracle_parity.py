@@ -35,9 +35,14 @@ def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
         if np.issubdtype(np.asarray(av).dtype, np.floating) or np.issubdtype(
             np.asarray(bv).dtype, np.floating
         ):
-            assert np.allclose(
-                av.astype(float), bv.astype(float), atol=1e-9, equal_nan=True
-            ), f"{name}.{col}: float mismatch"
+            # BITWISE equality: the driver compares value hashes, so a
+            # last-ulp difference between numpy and DuckDB rounding is a
+            # miss.  All 20 oracle queries are engineered to be bit-stable
+            # (4dp-rounded aggregates whose sums never land on ties;
+            # integer 1e-4 units for per-row money).
+            assert np.array_equal(
+                av.astype(float), bv.astype(float), equal_nan=True
+            ), f"{name}.{col}: float values not bit-identical"
         else:
             assert list(av) == list(bv), f"{name}.{col}: value mismatch"
 
