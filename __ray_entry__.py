@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.q_events_hourly,
         "events_user_stats": relational.q_events_user_stats,
         "events_sessions": relational.q_events_sessions,
+        "events_props_extract": relational.q_events_props_extract,
         "orders_by_month": relational.q_orders_by_month,
         "supplier_nation": relational.q_supplier_nation,
         "part_type_stats": relational.q_part_type_stats,
@@ -145,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": relational.Q_EVENTS_SQL,
         "events_user_stats": relational.Q_EVENTS_USER_SQL,
         "events_sessions": relational.Q_EVENTS_SESSIONS_SQL,
+        "events_props_extract": relational.Q_EVENTS_PROPS_SQL,
         "orders_by_month": relational.Q_ORDERS_MONTH_SQL,
         "supplier_nation": relational.Q_SUPPLIER_NATION_SQL,
         "part_type_stats": relational.Q_PART_TYPE_SQL,

@@ -552,6 +552,44 @@ FROM part GROUP BY p_type ORDER BY p_type
 """
 
 
+def q_events_props_extract(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: parse the JSON ``props`` column, pull the
+    ``k`` field, and aggregate by event_type — the JSON-column operator
+    family, vectorized per batch (stdlib json inside map_batches)."""
+    import json as _json
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = np.array([_json.loads(p)["k"] for p in batch["props"]], dtype=np.int64)
+        g = pd.DataFrame({"event_type": batch["event_type"].to_numpy(), "k": ks})
+        return g.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max")
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    out = (
+        ds.map_batches(extract, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"), Max("max_k", alias_name="max_k")
+        )
+        .to_pandas()
+    )
+    for c in ("n", "sum_k", "max_k"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+Q_EVENTS_PROPS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 Q_EVENTS_SESSIONS_SQL = """
 WITH d AS (
   SELECT user_id, ts, value,
