@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygonize_tiled": geometry.q_polygonize_tiled,
         "image_roundtrip": geometry.q_image_roundtrip,
         "mosaic_polygonize": _q_mosaic_polygonize,
+        "approx_distinct_orders": _q_approx_distinct,
         # --- multimodal opaque-binary stages (rows-only) ---
         "audio_features": _q_audio_features,
         "video_frame_stats": _q_video_frame_stats,
@@ -99,6 +100,19 @@ def _q_mosaic_polygonize(sf_dir: str):
     for c in ("area", "cx", "cy"):
         out[c] = np.round(out[c], 6)
     return out.sort_values(["tile_id", "area", "cx", "cy"]).reset_index(drop=True)
+
+
+def _q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT) — mergeable-sketch family
+    (rows-only: approximate by design; accuracy pinned in tests)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from geo_polygonize_ray.functions.sketch import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    est = approx_distinct(ds, "l_orderkey")
+    return pd.DataFrame({"approx_distinct_l_orderkey": [round(est, 1)]})
 
 
 def _q_audio_features(sf_dir: str):

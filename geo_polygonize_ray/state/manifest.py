@@ -78,14 +78,117 @@ def write_polygons_checkpointed(
     partition_col: str = "tile_id",
     stage: str = "polygons",
     resume: bool = True,
+    distributed: bool = True,
 ) -> dict:
     """Consume a polygons Dataset into per-partition parquet with manifest.
 
-    Streaming consumption (iter_batches) — partitions are written as their
-    blocks arrive; a rerun with ``resume=True`` skips partitions already in
-    the manifest (byte-identical output for deterministic pipelines,
-    FIXTURES.md §6.4).  Returns {written: [...], skipped: [...], rows: N}.
+    ``distributed=True`` (default): each WORKER task writes its own blocks'
+    partitions (atomic tmp+rename) and returns manifest rows; only the tiny
+    manifest flows through the driver — the 100 TB-correct layout.  Safe
+    because the tiled pipeline emits every tile in exactly one block (a tile
+    belongs to one shuffle bucket).  ``distributed=False`` falls back to
+    driver-side streaming (needed when one partition's rows may span
+    blocks, e.g. hand-built datasets).
+
+    A rerun with ``resume=True`` skips partitions already in the manifest
+    (byte-identical output for deterministic pipelines, FIXTURES.md §6.4).
+    Returns {written: [...], skipped: [...], rows: N}.
     """
+    if distributed:
+        return _write_distributed(ds, out_dir, partition_col, stage, resume)
+    return _write_driver_side(ds, out_dir, partition_col, stage, resume)
+
+
+def _write_partition_atomic(out_dir: str, stage: str, key: str, table) -> dict:
+    import os as _os
+    import time as _time
+
+    import pyarrow.parquet as _pq
+
+    t0 = _time.perf_counter()
+    pdir = _os.path.join(out_dir, f"part={key}")
+    _os.makedirs(pdir, exist_ok=True)
+    tmp = _os.path.join(pdir, ".data.parquet.tmp")
+    final = _os.path.join(pdir, "data.parquet")
+    _pq.write_table(table, tmp)
+    _os.replace(tmp, final)
+    return {
+        "partition": key,
+        "input_fingerprint": fingerprint_table(table),
+        "rows": int(table.num_rows),
+        "seconds": round(_time.perf_counter() - t0, 4),
+        "bytes": int(_os.path.getsize(final)),
+    }
+
+
+def _write_distributed(ds, out_dir, partition_col, stage, resume) -> dict:
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    man = Manifest(out_dir, stage)
+    done = set(man.completed()) if resume else set()
+    done_ref = ray.put(done)
+
+    def write_block(batch: "pa.Table") -> "pa.Table":
+        skip = ray.get(done_ref)
+        rows = {"partition": [], "input_fingerprint": [], "rows": [], "seconds": [], "bytes": [], "skipped": []}
+        if batch.num_rows == 0:
+            return pa.table({k: pa.array(v) for k, v in rows.items()})
+        keys = np.asarray(batch[partition_col].to_pylist())
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        starts = np.flatnonzero(np.concatenate([[True], sk[1:] != sk[:-1]]))
+        ends = np.concatenate([starts[1:], [len(sk)]])
+        for s, e in zip(starts, ends):
+            key = str(sk[s])
+            if key in skip:
+                rows["partition"].append(key)
+                rows["input_fingerprint"].append("")
+                rows["rows"].append(0)
+                rows["seconds"].append(0.0)
+                rows["bytes"].append(0)
+                rows["skipped"].append(True)
+                continue
+            part = batch.take(pa.array(order[s:e]))
+            m = _write_partition_atomic(out_dir, stage, key, part)
+            rows["partition"].append(m["partition"])
+            rows["input_fingerprint"].append(m["input_fingerprint"])
+            rows["rows"].append(m["rows"])
+            rows["seconds"].append(m["seconds"])
+            rows["bytes"].append(m["bytes"])
+            rows["skipped"].append(False)
+        return pa.table(
+            {
+                "partition": pa.array(rows["partition"], pa.string()),
+                "input_fingerprint": pa.array(rows["input_fingerprint"], pa.string()),
+                "rows": pa.array(rows["rows"], pa.int64()),
+                "seconds": pa.array(rows["seconds"], pa.float64()),
+                "bytes": pa.array(rows["bytes"], pa.int64()),
+                "skipped": pa.array(rows["skipped"], pa.bool_()),
+            }
+        )
+
+    mdf = ds.map_batches(write_block, batch_format="pyarrow").to_pandas()
+    written, skipped, rows_total = [], set(), 0
+    for r in mdf.itertuples():
+        if r.skipped:
+            skipped.add(r.partition)
+        else:
+            man.record(r.partition, r.input_fingerprint, r.rows, max(r.seconds, 1e-9), r.bytes)
+            written.append(r.partition)
+            rows_total += int(r.rows)
+    return {"written": sorted(written), "skipped": sorted(skipped), "rows": rows_total}
+
+
+def _write_driver_side(
+    ds,
+    out_dir: str,
+    partition_col: str,
+    stage: str,
+    resume: bool,
+) -> dict:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
