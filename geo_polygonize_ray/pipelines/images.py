@@ -18,12 +18,12 @@ import pyarrow as pa
 import ray.data as rd
 
 from geo_polygonize_ray.config import PipelineConfig
-from geo_polygonize_ray.local.polygonize import assemble_polygons, trace_rings
+from geo_polygonize_ray.local.polygonize import assemble_flat, trace_rings
 from geo_polygonize_ray.raster.codec import decode_image, psnr
 from geo_polygonize_ray.raster.phash import phash64
 from geo_polygonize_ray.raster.rasterize import rasterize_faces
 from geo_polygonize_ray.raster.vectorize import labels_to_linework, rgb_to_labels
-from geo_polygonize_ray.stages.trace import polygons_to_table
+from geo_polygonize_ray.stages.trace import flat_to_table
 
 IMAGE_RESULT_SCHEMA = pa.schema(
     [
@@ -68,9 +68,9 @@ class ImageRoundtrip:
             phash_ok[i] = phash64(img) == int(hashes[i])
             x0, y0, x1, y1 = labels_to_linework(rgb_to_labels(img))
             fx, fy, offs = trace_rings(x0, y0, x1, y1)
-            polys = assemble_polygons(fx, fy, offs)
-            n_polys[i] = len(polys)
-            total_area[i] = float(sum(p.area for p in polys))
+            flat = assemble_flat(fx, fy, offs)
+            n_polys[i] = len(flat["area"])
+            total_area[i] = float(flat["area"].sum())
             # reconstruction uses the face decomposition (exact); polygon
             # assembly keeps reference parity for the stats/polygons output
             recon = rasterize_faces(fx, fy, offs, img)
@@ -78,8 +78,8 @@ class ImageRoundtrip:
             psnr_db[i] = p
             roundtrip_ok[i] = p >= self.psnr_threshold_db
             if self.emit_polygons:
-                t = polygons_to_table(polys, tile_id=0)
-                t = t.append_column("image_id", pa.array([image_ids[i]] * len(polys)))
+                t = flat_to_table(flat, tile_id=0)
+                t = t.append_column("image_id", pa.array([image_ids[i]] * t.num_rows))
                 poly_tables.append(t)
 
         if self.emit_polygons:
