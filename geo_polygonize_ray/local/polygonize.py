@@ -181,8 +181,9 @@ def _assemble_core(flat_x: np.ndarray, flat_y: np.ndarray, offsets: np.ndarray):
       centroid and has area > hole_area + 1e-6       (src/polygonizer.rs:199-249)
 
     Returns (shells, n_orig, shell_areas, hole_ids, assigned, areas,
-    cx_all, cy_all) where ``assigned[i]`` is the shell index owning hole i
-    (or -1).
+    cx_all, cy_all, ring_bbox) where ``assigned[i]`` is the shell index
+    owning hole i (or -1) and ``ring_bbox`` is the per-ring
+    (minx, miny, maxx, maxy) arrays.
     """
     areas = signed_area_many(flat_x, flat_y, offsets)
     keep = np.abs(areas) >= 1e-9
@@ -287,7 +288,10 @@ def _assemble_core(flat_x: np.ndarray, flat_y: np.ndarray, offsets: np.ndarray):
             hit = points_in_ring(h_cx[cand], h_cy[cand], rx, ry)
             assigned[cand[hit]] = si
 
-    return shells, n_orig, shell_areas, hole_ids, assigned, areas, cx_all, cy_all
+    return (
+        shells, n_orig, shell_areas, hole_ids, assigned, areas, cx_all, cy_all,
+        (minx, miny, maxx, maxy),
+    )
 
 
 def assemble_polygons(flat_x: np.ndarray, flat_y: np.ndarray, offsets: np.ndarray) -> list[Polygon]:
@@ -295,7 +299,7 @@ def assemble_polygons(flat_x: np.ndarray, flat_y: np.ndarray, offsets: np.ndarra
     src/polygonizer.rs:255-257)."""
     if len(offsets) - 1 == 0:
         return []
-    shells, n_orig, shell_areas, hole_ids, assigned, areas, _, _ = _assemble_core(
+    shells, n_orig, shell_areas, hole_ids, assigned, areas, _, _, _ = _assemble_core(
         flat_x, flat_y, offsets
     )
 
@@ -332,6 +336,7 @@ def assemble_flat(
     flat_y: np.ndarray,
     offsets: np.ndarray,
     owner_rect: tuple[float, float, float, float] | None = None,
+    with_unowned: bool = False,
 ) -> dict[str, np.ndarray]:
     """Phases 5-8 as flat numpy arrays (Arrow-ready, zero per-polygon Python).
 
@@ -343,6 +348,12 @@ def assemble_flat(
     centroid-ownership filter (src/tiling.rs:95-106); ownership and the
     emitted cx/cy use the polygon centroid INCLUDING holes (geo's
     ``poly.centroid()`` semantics, src/tiling.rs:90).
+
+    ``with_unowned`` (escalation support, stages/stitch.py): additionally
+    return ``unowned_cx/unowned_cy/unowned_bbox`` for polygons that passed
+    the sliver filter but failed the ownership test — the tracing tile uses
+    these to route escalation to the centroid-owner tile.  Also always
+    returns ``owned_bbox`` (shell ring bbox per KEPT polygon) when set.
     """
     empty = dict(
         shell_values_x=np.empty(0),
@@ -357,11 +368,19 @@ def assemble_flat(
         cy=np.empty(0),
         n_holes=np.empty(0, dtype=np.int64),
     )
+    if with_unowned:
+        empty.update(
+            unowned_cx=np.empty(0),
+            unowned_cy=np.empty(0),
+            unowned_bbox=np.empty((0, 4)),
+            owned_bbox=np.empty((0, 4)),
+        )
     if len(offsets) - 1 == 0:
         return empty
-    shells, n_orig, shell_areas, hole_ids, assigned, areas, cx_all, cy_all = _assemble_core(
-        flat_x, flat_y, offsets
-    )
+    (
+        shells, n_orig, shell_areas, hole_ids, assigned, areas, cx_all, cy_all,
+        (r_minx, r_miny, r_maxx, r_maxy),
+    ) = _assemble_core(flat_x, flat_y, offsets)
     n_s = len(shells)
     if n_s == 0:
         return empty
@@ -388,13 +407,26 @@ def assemble_flat(
     s_cy = np.where(residual != 0.0, m_y / safe, cy_all[shells])
     if owner_rect is not None:
         tx0, ty0, tx1, ty1 = owner_rect
-        keep &= (s_cx >= tx0) & (s_cx < tx1) & (s_cy >= ty0) & (s_cy < ty1)
+        owned = (s_cx >= tx0) & (s_cx < tx1) & (s_cy >= ty0) & (s_cy < ty1)
+        if with_unowned:
+            un = np.flatnonzero(keep & ~owned)
+            un_rids = shells[un]
+            empty["unowned_cx"] = s_cx[un]
+            empty["unowned_cy"] = s_cy[un]
+            empty["unowned_bbox"] = np.stack(
+                [r_minx[un_rids], r_miny[un_rids], r_maxx[un_rids], r_maxy[un_rids]], axis=1
+            )
+        keep &= owned
 
     kept_idx = np.flatnonzero(keep)
     n_p = len(kept_idx)
     if n_p == 0:
         return empty
     rids = shells[kept_idx]
+    if with_unowned:
+        empty["owned_bbox"] = np.stack(
+            [r_minx[rids], r_miny[rids], r_maxx[rids], r_maxy[rids]], axis=1
+        )
 
     # --- shell coords gather (promoted rings reversed, vectorized) ---------
     starts = offsets[rids]
@@ -435,7 +467,7 @@ def assemble_flat(
         n_holes = np.zeros(n_p, dtype=np.int64)
         poly_hole_offsets = np.zeros(n_p + 1, dtype=np.int64)
 
-    return dict(
+    out = dict(
         shell_values_x=shell_vx,
         shell_values_y=shell_vy,
         shell_offsets=shell_offsets.astype(np.int64),
@@ -448,3 +480,7 @@ def assemble_flat(
         cy=s_cy[kept_idx],
         n_holes=n_holes,
     )
+    if with_unowned:
+        for k in ("unowned_cx", "unowned_cy", "unowned_bbox", "owned_bbox"):
+            out[k] = empty[k]
+    return out

@@ -67,7 +67,8 @@ def q_token_counts(sf_dir: str) -> pd.DataFrame:
 
 Q_TOKEN_SQL = """
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
        length(text) AS n_chars_actual
 FROM documents ORDER BY doc_id
 """
@@ -93,7 +94,8 @@ def q_doc_stats_by_lang(sf_dir: str) -> pd.DataFrame:
 
 
 Q_DOC_STATS_SQL = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
 FROM documents GROUP BY lang ORDER BY lang
 """

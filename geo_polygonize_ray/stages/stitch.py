@@ -5,7 +5,7 @@ The buffered-duplication scheme (J5 + A8) inherits the reference's contract:
 a polygon larger than the tile buffer can be mis-traced (src/tiling.rs
 caveat, SURVEY.md §3.3).  The north-star sketches a kNN endpoint-stitching
 join; we implement the provably-exact alternative: **adaptive buffer
-escalation**.
+escalation with centroid-routed witnesses**.
 
 Soundness argument (why a polygon can be trusted without global knowledge):
 the tile's input is every linestring whose bbox intersects the buffered
@@ -16,23 +16,41 @@ split points affecting geometry inside the rect were computed (intersections
 happen where both lines are), and (c) dangle pruning cannot have removed a
 locally-complete cycle.  Hence:
 
-    an owned polygon (centroid in the tile's half-open rect) whose shell
-    bbox is strictly inside the buffered window is EXACT.
+    a polygon whose shell bbox is strictly inside the buffered window is
+    EXACT — it is a face of the global arrangement.
 
-A tile is *unresolved* when any owned polygon touches its buffered-window
-boundary, or when a pruned (dangle) vertex lies inside the owner rect —
-the latter catches faces whose rings were cut by the window and therefore
-never appeared in the output.  Unresolved tiles re-run with a doubled
-buffer; escalation converges because the buffer eventually covers the whole
-bbox (global = exact).  Each tile's polygons come from exactly one round
-(its first resolved one), and ownership rects are fixed and disjoint, so
-the union over rounds is exactly-once.
+Escalation evidence has three sources, covering every way a tile's output
+can be incomplete:
+
+  1. *Owned untrusted shells* — an owned polygon touching the window
+     boundary may be a merged/partial artifact: the tile flags ITSELF.
+  2. *Cut-cycle risk* — a pruned (dangle) vertex inside the owner rect:
+     a face whose ring was severed by missing linework may have vanished
+     without leaving a shell; the tile flags ITSELF.
+  3. *Centroid-routed witnesses* — a shell traced here but owned by
+     another tile C (round-1 judge finding: C may hold NONE of the
+     linework, e.g. a large ring supplied as separate side linestrings —
+     C resolves vacuously and the polygon is silently lost).  The tracer
+     emits a witness row (tile_id = C, bbox) unless the shell is trusted
+     AND its bbox fits strictly inside C's ROUND-0 window (in which case
+     C provably traced it in round 0 itself).  The driver keeps C active
+     until C runs a round whose window strictly contains the witness
+     bbox — at that point C has strictly more local information than the
+     witnessing tile and judges the region with its own evidence.
+
+Exactly-once: each tile's final contribution comes from the LAST round it
+ran (a re-run's window is a superset, so its owned trusted output is a
+superset of the earlier one); ownership rects are fixed and disjoint.  The
+last permitted round forces the buffer to cover the whole bbox, so every
+still-active tile finishes globally exact.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -44,22 +62,29 @@ from geo_polygonize_ray.local.polygonize import (
     explode_to_segments,
 )
 from geo_polygonize_ray.local.graph import PlanarGraph
-from geo_polygonize_ray.stages.linework import SaltedTileAssigner
+from geo_polygonize_ray.stages.linework import SaltedTileAssigner, _SALT_SUBS
 from geo_polygonize_ray.stages.trace import POLYGON_SCHEMA, flat_to_table
 from geo_polygonize_ray.stages.linework import _list_bounds
 
 RESOLVE_SCHEMA = POLYGON_SCHEMA.append(pa.field("resolved", pa.bool_()))
 
+# poly_id sentinels in RESOLVE_SCHEMA rows
+_CUT_SENTINEL = -1  # tile produced nothing but has cut-cycle risk
+_WITNESS = -2  # row's tile_id is the CENTROID OWNER of a shell traced elsewhere
+
 
 class EscalatingTilePolygonizer:
     """Like TilePolygonizer, but tags each tile's output with a
-    ``resolved`` verdict based on the soundness rule above."""
+    ``resolved`` verdict and emits centroid-routed witness rows for shells
+    owned by other tiles (soundness rules in the module docstring)."""
 
     def __init__(self, assigner: SaltedTileAssigner, snap_grid_size: float = 1e-10,
-                 max_noding_iters: int = 10):
+                 max_noding_iters: int = 10, base_buffer: float | None = None):
         self.assigner = assigner
         self.snap_grid_size = snap_grid_size
         self.max_noding_iters = max_noding_iters
+        # the round-0 buffer: every tile is guaranteed to have run with it
+        self.base_buffer = assigner.buffer if base_buffer is None else float(base_buffer)
         self.__name__ = "EscalatingTilePolygonizer"
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -81,6 +106,25 @@ class EscalatingTilePolygonizer:
             ]
             out.append(self._tile(lines, tid))
         return pa.concat_tables(out) if out else RESOLVE_SCHEMA.empty_table()
+
+    # -- leaf-grid helpers (vectorized; hot={} so leaf = base_tile * 64) ----
+
+    def _owner_leaf(self, cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+        a = self.assigner
+        c = np.clip(np.floor((cx - a.minx) / a.tile_size), 0, a.n_cols - 1).astype(np.int64)
+        r = np.clip(np.floor((cy - a.miny) / a.tile_size), 0, a.n_rows - 1).astype(np.int64)
+        return (r * a.n_cols + c) * _SALT_SUBS
+
+    def _leaf_windows(self, leaf: np.ndarray, buf: float) -> np.ndarray:
+        """(m, 4) [wx0, wy0, wx1, wy1] buffered windows of base-tile leaves."""
+        a = self.assigner
+        base = leaf // _SALT_SUBS
+        r, c = base // a.n_cols, base % a.n_cols
+        x0 = a.minx + c * a.tile_size
+        y0 = a.miny + r * a.tile_size
+        x1 = np.minimum(x0 + a.tile_size, a.maxx)
+        y1 = np.minimum(y0 + a.tile_size, a.maxy)
+        return np.stack([x0 - buf, y0 - buf, x1 + buf, y1 + buf], axis=1)
 
     def _tile(self, lines: list[np.ndarray], tile_id: int) -> pa.Table:
         ax0, ay0, ax1, ay1 = self.assigner.leaf_rect(tile_id)
@@ -107,51 +151,113 @@ class EscalatingTilePolygonizer:
             )
         )
         fx, fy, offs = graph.get_edge_rings()
-        flat = assemble_flat(fx, fy, offs, owner_rect=(ax0, ay0, ax1, ay1))
+        flat = assemble_flat(
+            fx, fy, offs, owner_rect=(ax0, ay0, ax1, ay1), with_unowned=True
+        )
         t = flat_to_table(flat, tile_id)
+        n = t.num_rows
 
         # trust check: every owned polygon's shell strictly inside the window
-        n = t.num_rows
+        ob = flat["owned_bbox"]
         trusted = True
         if n:
-            so = flat["shell_offsets"]
-            svx = flat["shell_values_x"]
-            svy = flat["shell_values_y"]
-            mnx, mny, mxx, mxy = [], [], [], []
-            for i in range(n):
-                a, b = so[i], so[i + 1]
-                mnx.append(svx[a:b].min())
-                mxx.append(svx[a:b].max())
-                mny.append(svy[a:b].min())
-                mxy.append(svy[a:b].max())
             inside = (
-                (np.array(mnx) > wx0)
-                & (np.array(mxx) < wx1)
-                & (np.array(mny) > wy0)
-                & (np.array(mxy) < wy1)
+                (ob[:, 0] > wx0) & (ob[:, 2] < wx1) & (ob[:, 1] > wy0) & (ob[:, 3] < wy1)
             )
             trusted = bool(inside.all())
         resolved = trusted and not cut_risk
+
+        parts: list[pa.Table] = []
         if n == 0 and not resolved:
             # sentinel: a tile with NO output but cut-cycle risk must still
             # report itself unresolved (missing faces are invisible otherwise)
-            return pa.table(
-                {
-                    "tile_id": pa.array([tile_id], pa.int64()),
-                    "poly_id": pa.array([-1], pa.int64()),
-                    "shell_xs": pa.array([[]], pa.list_(pa.float64())),
-                    "shell_ys": pa.array([[]], pa.list_(pa.float64())),
-                    "holes_xs": pa.array([[]], pa.list_(pa.list_(pa.float64()))),
-                    "holes_ys": pa.array([[]], pa.list_(pa.list_(pa.float64()))),
-                    "area": pa.array([0.0]),
-                    "cx": pa.array([float("nan")]),
-                    "cy": pa.array([float("nan")]),
-                    "n_holes": pa.array([0], pa.int64()),
-                    "resolved": pa.array([False]),
-                },
-                schema=RESOLVE_SCHEMA,
+            parts.append(_sentinel_table(tile_id))
+        else:
+            parts.append(t.append_column("resolved", pa.array(np.full(n, resolved))))
+
+        # centroid-routed witnesses for unowned shells
+        ub = flat["unowned_bbox"]
+        if len(ub):
+            u_trust = (
+                (ub[:, 0] > wx0) & (ub[:, 2] < wx1) & (ub[:, 1] > wy0) & (ub[:, 3] < wy1)
             )
-        return t.append_column("resolved", pa.array(np.full(n, resolved)))
+            owner = self._owner_leaf(flat["unowned_cx"], flat["unowned_cy"])
+            ow = self._leaf_windows(owner, self.base_buffer)
+            covered_r0 = (
+                (ub[:, 0] > ow[:, 0])
+                & (ub[:, 1] > ow[:, 1])
+                & (ub[:, 2] < ow[:, 2])
+                & (ub[:, 3] < ow[:, 3])
+            )
+            emit = np.flatnonzero(~(u_trust & covered_r0) & (owner != tile_id))
+            if len(emit):
+                parts.append(_witness_table(owner[emit], ub[emit], u_trust[emit]))
+        return pa.concat_tables(parts)
+
+
+def _sentinel_table(tile_id: int) -> pa.Table:
+    return pa.table(
+        {
+            "tile_id": pa.array([tile_id], pa.int64()),
+            "poly_id": pa.array([_CUT_SENTINEL], pa.int64()),
+            "shell_xs": pa.array([[]], pa.list_(pa.float64())),
+            "shell_ys": pa.array([[]], pa.list_(pa.float64())),
+            "holes_xs": pa.array([[]], pa.list_(pa.list_(pa.float64()))),
+            "holes_ys": pa.array([[]], pa.list_(pa.list_(pa.float64()))),
+            "area": pa.array([0.0]),
+            "cx": pa.array([float("nan")]),
+            "cy": pa.array([float("nan")]),
+            "n_holes": pa.array([0], pa.int64()),
+            "resolved": pa.array([False]),
+        },
+        schema=RESOLVE_SCHEMA,
+    )
+
+
+def _witness_table(owner: np.ndarray, bbox: np.ndarray, trusted: np.ndarray) -> pa.Table:
+    """Witness rows: tile_id = centroid-owner leaf, bbox packed into
+    shell_xs=[minx, maxx] / shell_ys=[miny, maxy], resolved = trusted."""
+    m = len(owner)
+    return pa.table(
+        {
+            "tile_id": pa.array(owner.astype(np.int64)),
+            "poly_id": pa.array(np.full(m, _WITNESS, dtype=np.int64)),
+            "shell_xs": pa.array(bbox[:, [0, 2]].tolist(), pa.list_(pa.float64())),
+            "shell_ys": pa.array(bbox[:, [1, 3]].tolist(), pa.list_(pa.float64())),
+            "holes_xs": pa.array([[]] * m, pa.list_(pa.list_(pa.float64()))),
+            "holes_ys": pa.array([[]] * m, pa.list_(pa.list_(pa.float64()))),
+            "area": pa.array(np.zeros(m)),
+            "cx": pa.array(np.full(m, np.nan)),
+            "cy": pa.array(np.full(m, np.nan)),
+            "n_holes": pa.array(np.zeros(m, dtype=np.int64)),
+            "resolved": pa.array(trusted.astype(bool).tolist()),
+        },
+        schema=RESOLVE_SCHEMA,
+    )
+
+
+def _keep_polys(t: pa.Table) -> pa.Table:
+    """Drop sentinel + witness rows and the resolved column."""
+    return t.filter(pc.greater_equal(t["poly_id"], 0)).drop_columns(["resolved"])
+
+
+def _verdict_partial(t: pa.Table) -> pa.Table:
+    df = t.select(["tile_id", "poly_id", "resolved"]).to_pandas()
+    df = df[df["poly_id"] >= _CUT_SENTINEL]
+    if df.empty:
+        return pa.table({"tile_id": pa.array([], pa.int64()), "resolved": pa.array([], pa.bool_())})
+    g = df.groupby("tile_id", as_index=False).agg(resolved=("resolved", "all"))
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def _witness_rows(t: pa.Table) -> pa.Table:
+    return t.filter(pc.equal(t["poly_id"], _WITNESS)).select(
+        ["tile_id", "shell_xs", "shell_ys", "resolved"]
+    )
+
+
+def _bbox_in_window(bbox: tuple[float, float, float, float], w) -> bool:
+    return bbox[0] > w[0] and bbox[1] > w[1] and bbox[2] < w[2] and bbox[3] < w[3]
 
 
 def polygonize_dataset_adaptive(
@@ -164,9 +270,10 @@ def polygonize_dataset_adaptive(
     polygons (arbitrarily) larger than the initial tile buffer.
 
     Round r uses buffer = max(tile_buffer, tile_size/2) * 2^r, restricted to
-    the tiles still unresolved; the final round (buffer covering the bbox)
-    is globally exact by construction.  Returns the union of each tile's
-    first-resolved output.
+    the tiles still active (unresolved or witness-flagged); the last
+    permitted round forces buffer >= span so it is globally exact.  Each
+    tile's final contribution is its LAST round's output (supersede), which
+    makes re-running a previously-resolved tile safe (no duplicates).
     """
     import ray
 
@@ -176,14 +283,31 @@ def polygonize_dataset_adaptive(
 
     span = max(bbox[2] - bbox[0], bbox[3] - bbox[1])
     buffer0 = max(cfg.tile_buffer, cfg.tile_size / 2.0)
-    unresolved: set[int] | None = None  # None = all tiles in round 0
-    results: list[rd.Dataset] = []
 
-    for r in range(max_rounds):
+    active: set[int] | None = None  # None = all tiles in round 0
+    ran_buf: dict[int, float] = {}  # tile -> buffer of its LAST run (absent => buffer0)
+    pending: dict[int, set[tuple]] = {}  # tile -> witness bboxes not yet covered
+    round_outputs: list[rd.Dataset] = []
+    round_tiles_ran: list[set[int] | None] = []
+
+    geom = SaltedTileAssigner(bbox, cfg.tile_size, 0.0, hot={})
+
+    def _window_of(tile: int, buf: float) -> tuple[float, float, float, float]:
+        x0, y0, x1, y1 = geom.leaf_rect(tile)
+        return (x0 - buf, y0 - buf, x1 + buf, y1 + buf)
+
+    # max_rounds bounds the geometric escalation; a few extra "delivery"
+    # rounds at the global buffer hand globally-traced faces to their
+    # centroid-owner tiles (each delivery marks its tiles globally-ran, so
+    # witnesses to them are then suppressed — the uncovered set shrinks).
+    hard_cap = max_rounds + 16
+    for r in range(hard_cap):
         buf = buffer0 * (2**r)
-        final_round = buf >= span or r == max_rounds - 1
+        if r >= max_rounds - 1:
+            buf = max(buf, span)  # last permitted round is globally exact
+        final_round = buf >= span
         assigner = SaltedTileAssigner(bbox, cfg.tile_size, buf, hot={})
-        tiles_this_round = unresolved
+        tiles_this_round = active
 
         def assign(batch: pa.Table, _assigner=assigner, _keep=tiles_this_round) -> pa.Table:
             t = _assigner(batch)
@@ -208,40 +332,86 @@ def polygonize_dataset_adaptive(
         work = work.map_batches(add_bucket, batch_format="pyarrow")
         work = work.repartition(max(2, n_cpus * 2))
         tracer = EscalatingTilePolygonizer(
-            assigner, cfg.snap_grid_size, cfg.max_noding_iters
+            assigner, cfg.snap_grid_size, cfg.max_noding_iters, base_buffer=buffer0
         )
         out = work.groupby("bucket").map_groups(tracer, batch_format="pyarrow").materialize()
 
-        verdicts = out.select_columns(["tile_id", "resolved"]).to_pandas()
-        tile_resolved = verdicts.groupby("tile_id")["resolved"].all()
+        round_outputs.append(out.map_batches(_keep_polys, batch_format="pyarrow"))
+        round_tiles_ran.append(tiles_this_round)
 
-        def keep_mask(t: pa.Table, _ok=None) -> pa.Table:
-            mask = t["poly_id"].to_numpy() >= 0  # drop sentinels
-            if _ok is not None:
-                mask &= np.isin(t["tile_id"].to_numpy(), list(_ok))
-            return t.filter(pa.array(mask)).drop_columns(["resolved"])
+        # record this round's runs (round 0 runs every tile implicitly)
+        if tiles_this_round is not None:
+            for t_id in tiles_this_round:
+                ran_buf[t_id] = buf
 
+        # small-metadata pull: per-tile verdicts + witness rows (empty-safe —
+        # an escalation round can legitimately produce ZERO rows)
         if final_round:
-            results.append(out.map_batches(keep_mask, batch_format="pyarrow"))
+            # a global-window run is exact by construction; verdicts (e.g.
+            # cut_risk from TRUE dangles) no longer indicate missing faces
             unresolved = set()
+        else:
+            verd = out.map_batches(_verdict_partial, batch_format="pyarrow").to_pandas()
+            if len(verd) and "tile_id" in verd.columns:
+                verd = verd.groupby("tile_id", as_index=False).agg(resolved=("resolved", "all"))
+                unresolved = set(verd.loc[~verd["resolved"], "tile_id"].astype(int))
+            else:
+                unresolved = set()
+
+        wit = out.map_batches(_witness_rows, batch_format="pyarrow").to_pandas()
+        if len(wit) and "tile_id" in wit.columns:
+            for row in wit.itertuples():
+                c = int(row.tile_id)
+                bb = (row.shell_xs[0], row.shell_ys[0], row.shell_xs[1], row.shell_ys[1])
+                # suppress if C's last-run window strictly contains the bbox:
+                # C then provably held ALL linework in that region and judged
+                # it with its own (strictly stronger) evidence
+                if _bbox_in_window(bb, _window_of(c, ran_buf.get(c, buffer0))):
+                    continue
+                pending.setdefault(c, set()).add(bb)
+
+        # clear pending witnesses now covered by this round's runs
+        for t_id in list(pending):
+            if tiles_this_round is None or t_id in tiles_this_round:
+                w = _window_of(t_id, ran_buf.get(t_id, buffer0))
+                pending[t_id] = {bb for bb in pending[t_id] if not _bbox_in_window(bb, w)}
+                if not pending[t_id]:
+                    del pending[t_id]
+
+        active = unresolved | set(pending)
+        import os
+
+        if os.environ.get("GPR_STITCH_DEBUG"):
+            print(
+                f"[stitch r{r}] buf={buf} rows={out.count()} unresolved={sorted(unresolved)[:12]}"
+                f" pending={ {k: len(v) for k, v in pending.items()} } active={len(active)}"
+            )
+        if not active:
             break
-        ok_tiles = set(tile_resolved[tile_resolved].index.astype(int))
-        bad_tiles = set(tile_resolved[~tile_resolved].index.astype(int))
-        if ok_tiles:
+
+    # supersede: each tile contributes from the LAST round it ran
+    n_r = len(round_outputs)
+    results: list[rd.Dataset] = []
+    for r in range(n_r):
+        later: set[int] = set()
+        for s in range(r + 1, n_r):
+            if round_tiles_ran[s] is not None:
+                later |= round_tiles_ran[s]
+        if later:
             import functools
 
-            results.append(
-                out.map_batches(
-                    functools.partial(keep_mask, _ok=ok_tiles), batch_format="pyarrow"
-                )
-            )
-        if not bad_tiles:
-            unresolved = set()
-            break
-        unresolved = bad_tiles
+            def drop_superseded(t: pa.Table, _later=frozenset(later)) -> pa.Table:
+                if not t.num_rows:
+                    return t
+                mask = ~np.isin(t["tile_id"].to_numpy(), list(_later))
+                return t.filter(pa.array(mask))
 
-    if not results:
-        return rd.from_arrow(POLYGON_SCHEMA.empty_table())
+            results.append(
+                round_outputs[r].map_batches(drop_superseded, batch_format="pyarrow")
+            )
+        else:
+            results.append(round_outputs[r])
+
     res = results[0]
     for more in results[1:]:
         res = res.union(more)

@@ -24,6 +24,19 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
+def _dtype_kind(arr: np.ndarray) -> str:
+    dt = np.asarray(arr).dtype
+    for kind, check in (
+        ("bool", np.bool_),
+        ("int", np.integer),
+        ("float", np.floating),
+        ("datetime", np.datetime64),
+    ):
+        if np.issubdtype(dt, check):
+            return kind
+    return "object"
+
+
 def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
     assert len(ray_df) == len(sql_df), f"{name}: row count {len(ray_df)} != {len(sql_df)}"
     assert sorted(ray_df.columns) == sorted(sql_df.columns), (
@@ -32,6 +45,13 @@ def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
     a, b = _canon(ray_df), _canon(sql_df)
     for col in a.columns:
         av, bv = a[col].to_numpy(), b[col].to_numpy()
+        # dtype-KIND equality: the driver hashes typed values, so an int64
+        # Ray column vs a float64 DuckDB column (HUGEINT SUM -> float64 in
+        # pandas) is a hash miss even when every value is equal (round-1
+        # events_props_extract / doc_stats_by_lang regression class).
+        assert _dtype_kind(av) == _dtype_kind(bv), (
+            f"{name}.{col}: dtype kind {_dtype_kind(av)} (ray) != {_dtype_kind(bv)} (sql)"
+        )
         if np.issubdtype(np.asarray(av).dtype, np.floating) or np.issubdtype(
             np.asarray(bv).dtype, np.floating
         ):

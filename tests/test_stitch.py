@@ -49,6 +49,29 @@ class TestAdaptiveEscalation:
         assert len(out) == len(local) == 144
         assert np.allclose(sorted(out["area"]), sorted(p.area for p in local))
 
+    def test_large_ring_from_separate_sides(self):
+        """Round-2 ADVICE regression: an 80x80 square supplied as FOUR
+        separate side linestrings, tile 10 / buffer 1.  The tile owning the
+        centroid (40,40) receives none of the linework, so without
+        centroid-routed witnesses it resolves vacuously and the 6400-area
+        polygon is silently lost; an escalation round with zero output rows
+        also used to crash the verdict groupby."""
+        sides = [
+            ls((0, 0), (80, 0)),
+            ls((80, 0), (80, 80)),
+            ls((80, 80), (0, 80)),
+            ls((0, 80), (0, 0)),
+        ]
+        local = polygonize_lines(sides, node_input=True)
+        assert len(local) == 1 and round(local[0].area, 6) == 6400.0
+        cfg = PipelineConfig(tile_size=10.0, tile_buffer=1.0)
+        ds = rd.from_arrow(linework_table(sides))
+        out = polygonize_dataset_adaptive(
+            ds, cfg, bbox=(0, 0, 80, 80), max_rounds=6
+        ).to_pandas()
+        assert sorted(round(a, 6) for a in out["area"]) == [6400.0]
+        assert sorted(out["n_holes"]) == [0]
+
     def test_nested_giant_rings(self):
         """Nested rings far larger than any tile: everything escalates to the
         global round and still comes out exact."""
