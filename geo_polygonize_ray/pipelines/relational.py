@@ -109,17 +109,27 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Round-2 shape: only the GENUINELY small side (BUILDING customer keys,
+    a dimension-table filter) is broadcast; the orders fact table is
+    filtered map-side and joined to the lineitem partials with a
+    distributed hash join — orders is never pulled to the driver."""
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].tolist())
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    keys_ref = ray.put(frozenset(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]))
     cutoff = pd.Timestamp("1995-03-15")
-    sel = orders[(orders["o_custkey"].isin(keys)) & (orders["o_orderdate"] < cutoff)]
-    okeys_ref = ray.put(set(sel["o_orderkey"].tolist()))
+
+    def sel_orders(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        df = batch.to_pandas()
+        df = df[df["o_custkey"].isin(keys) & (df["o_orderdate"] < cutoff)]
+        return pa.Table.from_pandas(df[["o_orderkey"]], preserve_index=False)
+
+    orders_sel = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(sel_orders, batch_format="pyarrow", batch_size=65536)
 
     def revenue(batch: pa.Table) -> pa.Table:
-        okeys = ray.get(okeys_ref)
         df = batch.to_pandas()
-        df = df[df["l_orderkey"].isin(okeys) & (df["l_shipdate"] > cutoff)]
+        df = df[df["l_shipdate"] > cutoff]
         df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
         g = df.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -127,11 +137,14 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     li = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     )
+    partials = li.map_batches(revenue, batch_format="pyarrow", batch_size=65536)
+    joined = partials.join(
+        orders_sel, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
     from geo_polygonize_ray.functions import bucketed_groupby
 
-    partials = li.map_batches(revenue, batch_format="pyarrow", batch_size=65536)
     out = bucketed_groupby(
-        partials,
+        joined,
         "l_orderkey",
         lambda g: g.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum")),
     ).to_pandas()
@@ -159,6 +172,10 @@ LIMIT 10
 
 
 def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """Round-2 shape: region/nation/customer are dimensions (small,
+    broadcast); the orders fact table is mapped to slim (o_orderkey, nkey)
+    rows MAP-SIDE and hash-joined to the lineitem partials — no driver
+    dict over the whole orders table."""
     region = _read(sf_dir, "region").to_pandas()
     nation = _read(sf_dir, "nation").to_pandas()
     rkeys = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
@@ -166,34 +183,43 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     nat_by_key = dict(zip(nat["n_nationkey"], nat["n_name"]))
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     cust = cust[cust["c_nationkey"].isin(nat_by_key)]
-    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
-    orders = orders[orders["o_custkey"].isin(cust_nation)]
-    order_nation_ref = ray.put(
-        dict(zip(orders["o_orderkey"], orders["o_custkey"].map(cust_nation)))
-    )
-    nat_name_ref = ray.put(nat_by_key)
+    cust_nation_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
 
-    def partial(batch: pa.Table) -> pa.Table:
-        order_nation = ray.get(order_nation_ref)
-        names = ray.get(nat_name_ref)
+    def order_nkey(batch: pa.Table) -> pa.Table:
+        cn = ray.get(cust_nation_ref)
         df = batch.to_pandas()
-        df["nkey"] = df["l_orderkey"].map(order_nation)
+        df["nkey"] = df["o_custkey"].map(cn)
         df = df.dropna(subset=["nkey"])
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {"o_orderkey": df["o_orderkey"].to_numpy(), "nkey": df["nkey"].to_numpy(np.int64)}
+            ),
+            preserve_index=False,
+        )
+
+    orders_nk = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        order_nkey, batch_format="pyarrow", batch_size=65536
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
         df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        df["n_name"] = df["nkey"].astype(np.int64).map(names)
-        g = df.groupby("n_name", as_index=False).agg(revenue=("revenue", "sum"))
+        g = df.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    partials = li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+    joined = partials.join(
+        orders_nk, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
     from ray.data.aggregate import Sum
 
     out = (
-        li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("n_name")
-        .aggregate(Sum("revenue", alias_name="revenue"))
-        .to_pandas()
+        joined.groupby("nkey").aggregate(Sum("revenue", alias_name="revenue")).to_pandas()
     )
+    out["n_name"] = out["nkey"].astype(np.int64).map(nat_by_key)
+    out = out[["n_name", "revenue"]]
     out["revenue"] = r4(out["revenue"])
     return out.sort_values("n_name").reset_index(drop=True)
 

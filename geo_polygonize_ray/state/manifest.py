@@ -4,7 +4,10 @@ any cell's trace is resumable").
 
 Layout:
     out_dir/
-      part=<key>/data.parquet        (written atomically: tmp -> rename)
+      part=<key>/data-<run>-<task>.parquet   (unique per writing task; a
+          partition is the UNION of its data*.parquet files — Ray Data's
+          dynamic block splitting may route one partition's rows through
+          several map_batches tasks, so tasks must never share a filename)
       _manifest.jsonl                (one row per completed partition)
 
 Manifest row: {"partition", "input_fingerprint", "rows", "seconds", "bytes",
@@ -58,6 +61,12 @@ class Manifest:
     def partition_dir(self, partition: str) -> str:
         return os.path.join(self.out_dir, f"part={partition}")
 
+    def partition_files(self, partition: str) -> list[str]:
+        """All data files of a partition (the partition = their union)."""
+        import glob
+
+        return sorted(glob.glob(os.path.join(self.partition_dir(partition), "data*.parquet")))
+
 
 def fingerprint_table(t) -> str:
     """Deterministic fingerprint of an Arrow table's contents (schema +
@@ -83,12 +92,15 @@ def write_polygons_checkpointed(
     """Consume a polygons Dataset into per-partition parquet with manifest.
 
     ``distributed=True`` (default): each WORKER task writes its own blocks'
-    partitions (atomic tmp+rename) and returns manifest rows; only the tiny
-    manifest flows through the driver — the 100 TB-correct layout.  Safe
-    because the tiled pipeline emits every tile in exactly one block (a tile
-    belongs to one shuffle bucket).  ``distributed=False`` falls back to
-    driver-side streaming (needed when one partition's rows may span
-    blocks, e.g. hand-built datasets).
+    partitions to a task-unique file (atomic tmp+rename) and returns
+    manifest rows; only the tiny manifest flows through the driver — the
+    100 TB-correct layout.  A partition whose rows straddle several tasks
+    (Ray Data's dynamic block splitting can split one map_groups output
+    block) is simply the union of its files; the driver aggregates one
+    manifest row per partition AFTER the whole dataset is consumed, and
+    removes files from older/crashed runs so rewrites never double-count.
+    ``distributed=False`` falls back to driver-side streaming (one
+    concatenated file per partition).
 
     A rerun with ``resume=True`` skips partitions already in the manifest
     (byte-identical output for deterministic pipelines, FIXTURES.md §6.4).
@@ -99,17 +111,21 @@ def write_polygons_checkpointed(
     return _write_driver_side(ds, out_dir, partition_col, stage, resume)
 
 
-def _write_partition_atomic(out_dir: str, stage: str, key: str, table) -> dict:
+def _write_partition_atomic(out_dir: str, stage: str, key: str, table, run_id: str) -> dict:
     import os as _os
     import time as _time
+    import uuid as _uuid
 
     import pyarrow.parquet as _pq
 
     t0 = _time.perf_counter()
     pdir = _os.path.join(out_dir, f"part={key}")
     _os.makedirs(pdir, exist_ok=True)
-    tmp = _os.path.join(pdir, ".data.parquet.tmp")
-    final = _os.path.join(pdir, "data.parquet")
+    # task-unique name: concurrent tasks holding rows of the SAME partition
+    # (dynamic block splitting) must not clobber each other
+    fname = f"data-{run_id}-{_uuid.uuid4().hex[:8]}.parquet"
+    tmp = _os.path.join(pdir, f".{fname}.tmp")
+    final = _os.path.join(pdir, fname)
     _pq.write_table(table, tmp)
     _os.replace(tmp, final)
     return {
@@ -118,10 +134,14 @@ def _write_partition_atomic(out_dir: str, stage: str, key: str, table) -> dict:
         "rows": int(table.num_rows),
         "seconds": round(_time.perf_counter() - t0, 4),
         "bytes": int(_os.path.getsize(final)),
+        "file": fname,
     }
 
 
 def _write_distributed(ds, out_dir, partition_col, stage, resume) -> dict:
+    import hashlib as _hashlib
+    import uuid as _uuid
+
     import numpy as np
     import pyarrow as pa
 
@@ -130,12 +150,23 @@ def _write_distributed(ds, out_dir, partition_col, stage, resume) -> dict:
     man = Manifest(out_dir, stage)
     done = set(man.completed()) if resume else set()
     done_ref = ray.put(done)
+    run_id = _uuid.uuid4().hex[:8]
 
     def write_block(batch: "pa.Table") -> "pa.Table":
         skip = ray.get(done_ref)
-        rows = {"partition": [], "input_fingerprint": [], "rows": [], "seconds": [], "bytes": [], "skipped": []}
+        rows = {"partition": [], "input_fingerprint": [], "rows": [], "seconds": [], "bytes": [], "skipped": [], "file": []}
         if batch.num_rows == 0:
-            return pa.table({k: pa.array(v) for k, v in rows.items()})
+            return pa.table(
+                {
+                    "partition": pa.array([], pa.string()),
+                    "input_fingerprint": pa.array([], pa.string()),
+                    "rows": pa.array([], pa.int64()),
+                    "seconds": pa.array([], pa.float64()),
+                    "bytes": pa.array([], pa.int64()),
+                    "skipped": pa.array([], pa.bool_()),
+                    "file": pa.array([], pa.string()),
+                }
+            )
         keys = np.asarray(batch[partition_col].to_pylist())
         order = np.argsort(keys, kind="stable")
         sk = keys[order]
@@ -150,15 +181,17 @@ def _write_distributed(ds, out_dir, partition_col, stage, resume) -> dict:
                 rows["seconds"].append(0.0)
                 rows["bytes"].append(0)
                 rows["skipped"].append(True)
+                rows["file"].append("")
                 continue
             part = batch.take(pa.array(order[s:e]))
-            m = _write_partition_atomic(out_dir, stage, key, part)
+            m = _write_partition_atomic(out_dir, stage, key, part, run_id)
             rows["partition"].append(m["partition"])
             rows["input_fingerprint"].append(m["input_fingerprint"])
             rows["rows"].append(m["rows"])
             rows["seconds"].append(m["seconds"])
             rows["bytes"].append(m["bytes"])
             rows["skipped"].append(False)
+            rows["file"].append(m["file"])
         return pa.table(
             {
                 "partition": pa.array(rows["partition"], pa.string()),
@@ -167,18 +200,32 @@ def _write_distributed(ds, out_dir, partition_col, stage, resume) -> dict:
                 "seconds": pa.array(rows["seconds"], pa.float64()),
                 "bytes": pa.array(rows["bytes"], pa.int64()),
                 "skipped": pa.array(rows["skipped"], pa.bool_()),
+                "file": pa.array(rows["file"], pa.string()),
             }
         )
 
+    # .to_pandas() here means every file write has already succeeded; only
+    # then do cleanup + manifest recording, so a crashed run records nothing
+    # (its orphan files are swept on the next run's rewrite of the partition)
     mdf = ds.map_batches(write_block, batch_format="pyarrow").to_pandas()
-    written, skipped, rows_total = [], set(), 0
-    for r in mdf.itertuples():
-        if r.skipped:
-            skipped.add(r.partition)
-        else:
-            man.record(r.partition, r.input_fingerprint, r.rows, max(r.seconds, 1e-9), r.bytes)
-            written.append(r.partition)
-            rows_total += int(r.rows)
+    skipped = set(mdf.loc[mdf.get("skipped", np.array([], dtype=bool)), "partition"]) if len(mdf) else set()
+    written, rows_total = [], 0
+    if len(mdf):
+        w = mdf[~mdf["skipped"]]
+        run_marker = f"data-{run_id}-"
+        for key, g in w.groupby("partition"):
+            # sweep files not from this run (previous runs / crashed runs)
+            for f in man.partition_files(str(key)):
+                if not os.path.basename(f).startswith(run_marker):
+                    os.remove(f)
+            # one aggregated manifest row per partition (union of its files)
+            fp = _hashlib.sha1(
+                "".join(sorted(g["input_fingerprint"])).encode()
+            ).hexdigest()[:16] if len(g) > 1 else g["input_fingerprint"].iloc[0]
+            n_rows = int(g["rows"].sum())
+            man.record(str(key), fp, n_rows, max(float(g["seconds"].max()), 1e-9), int(g["bytes"].sum()))
+            written.append(str(key))
+            rows_total += n_rows
     return {"written": sorted(written), "skipped": sorted(skipped), "rows": rows_total}
 
 
@@ -230,6 +277,9 @@ def _write_driver_side(
         tmp = os.path.join(pdir, ".data.parquet.tmp")
         final = os.path.join(pdir, "data.parquet")
         pq.write_table(table, tmp)
+        for f in man.partition_files(key):  # sweep prior runs' files
+            if f != final:
+                os.remove(f)
         os.replace(tmp, final)  # atomic publish
         nbytes = os.path.getsize(final)
         man.record(key, fingerprint_table(table), table.num_rows, time.perf_counter() - t0, nbytes)

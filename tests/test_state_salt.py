@@ -76,16 +76,19 @@ class TestCheckpointResume:
         assert all(m["rows"] > 0 and m["bytes"] > 0 for m in manifest)
 
         # snapshot partition bytes, then resume: everything skipped, bytes identical
-        sizes = {
-            p: open(os.path.join(out_dir, f"part={p}", "data.parquet"), "rb").read()
-            for p in r1["written"]
-        }
+        def part_bytes(p):
+            import glob
+
+            files = sorted(glob.glob(os.path.join(out_dir, f"part={p}", "data*.parquet")))
+            return b"".join(open(f, "rb").read() for f in files)
+
+        sizes = {p: part_bytes(p) for p in r1["written"]}
         ds2 = polygonize_dataset(rd.from_arrow(linework_table(lines)), cfg, bbox=(0, 0, 8, 8))
         r2 = write_polygons_checkpointed(ds2, out_dir)
         assert not r2["written"]
         assert set(r2["skipped"]) == set(r1["written"])
         for p, blob in sizes.items():
-            assert open(os.path.join(out_dir, f"part={p}", "data.parquet"), "rb").read() == blob
+            assert part_bytes(p) == blob
 
         # delete one partition from the manifest -> only it is rewritten
         keep = [json.loads(l) for l in open(os.path.join(out_dir, "_manifest.jsonl"))]
@@ -96,3 +99,35 @@ class TestCheckpointResume:
         ds3 = polygonize_dataset(rd.from_arrow(linework_table(lines)), cfg, bbox=(0, 0, 8, 8))
         r3 = write_polygons_checkpointed(ds3, out_dir)
         assert r3["written"] == [dropped]
+
+    def test_partition_split_across_blocks(self, tmp_path):
+        """Round-2 ADVICE regression: a partition whose rows arrive in
+        SEVERAL map_batches tasks (dynamic block splitting) must come out as
+        the union of per-task files, not a last-write-wins overwrite."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        out_dir = str(tmp_path / "split")
+        t1 = pa.table({"tile_id": [5, 5, 7], "v": [1.0, 2.0, 3.0]})
+        t2 = pa.table({"tile_id": [5, 9], "v": [4.0, 5.0]})
+        ds = rd.from_arrow([t1, t2])  # two input blocks both holding tile 5
+        r = write_polygons_checkpointed(ds, out_dir)
+        assert r["rows"] == 5
+        manifest = [json.loads(l) for l in open(os.path.join(out_dir, "_manifest.jsonl"))]
+        by_part = {m["partition"]: m for m in manifest}
+        assert len(manifest) == len(by_part) == 3  # ONE row per partition
+        assert by_part["5"]["rows"] == 3
+        import glob
+
+        files5 = sorted(glob.glob(os.path.join(out_dir, "part=5", "data*.parquet")))
+        got = pa.concat_tables([pq.read_table(f) for f in files5])
+        assert sorted(got["v"].to_pylist()) == [1.0, 2.0, 4.0]
+
+        # a rewrite (manifest cleared) sweeps the old files — no double rows
+        os.remove(os.path.join(out_dir, "_manifest.jsonl"))
+        r2 = write_polygons_checkpointed(rd.from_arrow([t1, t2]), out_dir)
+        assert r2["rows"] == 5
+        files5b = sorted(glob.glob(os.path.join(out_dir, "part=5", "data*.parquet")))
+        got2 = pa.concat_tables([pq.read_table(f) for f in files5b])
+        assert sorted(got2["v"].to_pylist()) == [1.0, 2.0, 4.0]
