@@ -276,6 +276,80 @@ def _points_in_ring_inverted(px, py, ring_x, ring_y) -> np.ndarray:
     return (crossings % 2).astype(bool)
 
 
+def pair_points_in_rings(
+    px: np.ndarray,
+    py: np.ndarray,
+    ring_ids: np.ndarray,
+    flat_x: np.ndarray,
+    flat_y: np.ndarray,
+    offsets: np.ndarray,
+) -> np.ndarray:
+    """Batched pairwise PIP: for each i, is point (px[i], py[i]) inside ring
+    ``ring_ids[i]`` of the flat ring storage?  One vectorized pass over the
+    expanded (pair, segment) table — no per-ring Python.  Crossing rule and
+    float math are identical to :func:`points_in_ring` (bit-parity), and the
+    per-pair crossing COUNT is order-independent, so results match exactly.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    rid = np.asarray(ring_ids, dtype=np.int64)
+    n = len(rid)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    starts = offsets[rid]
+    nseg = (offsets[rid + 1] - starts - 1).astype(np.int64)
+    nseg = np.maximum(nseg, 0)
+
+    # HEAVY rings (many points against one big ring, e.g. a grid outline
+    # versus every interior hole) route through points_in_ring, whose
+    # y-span inverted path does sum(points-in-span) work instead of
+    # points x segments; the remaining light pairs run batched below.
+    uniq, inv, counts = np.unique(rid, return_inverse=True, return_counts=True)
+    u_nseg = offsets[uniq + 1] - offsets[uniq] - 1
+    heavy = (counts > 8) & (counts * np.maximum(u_nseg, 0) > (1 << 16))
+    if heavy.any():
+        light_mask = ~heavy[inv]
+        for u in np.flatnonzero(heavy):
+            sel = np.flatnonzero(inv == u)
+            s, e = offsets[uniq[u]], offsets[uniq[u] + 1]
+            out[sel] = points_in_ring(px[sel], py[sel], flat_x[s:e], flat_y[s:e])
+        if not light_mask.any():
+            return out
+        sub = np.flatnonzero(light_mask)
+        out[sub] = pair_points_in_rings(px[sub], py[sub], rid[sub], flat_x, flat_y, offsets)
+        return out
+    # chunk over pairs so the expanded table stays cache/memory-bounded
+    csum = np.cumsum(nseg)
+    limit = 1 << 22
+    lo = 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        while lo < n:
+            hi = int(np.searchsorted(csum, (csum[lo - 1] if lo else 0) + limit, side="right")) + 1
+            hi = max(lo + 1, min(hi, n))
+            seg = nseg[lo:hi]
+            tot = int(seg.sum())
+            if tot == 0:
+                lo = hi
+                continue
+            prep = np.repeat(np.arange(lo, hi), seg)
+            pos = np.arange(tot) - np.repeat(np.cumsum(seg) - seg, seg)
+            base = np.repeat(starts[lo:hi], seg) + pos
+            xi = flat_x[base]
+            yi = flat_y[base]
+            xj = flat_x[base + 1]
+            yj = flat_y[base + 1]
+            cpx = px[prep]
+            cpy = py[prep]
+            in_range = (yi > cpy) != (yj > cpy)
+            ix = (xj - xi) * (cpy - yi) / (yj - yi) + xi
+            crossing = in_range & (cpx < ix)
+            cnt = np.bincount(prep[crossing] - lo, minlength=hi - lo)
+            out[lo:hi] = (cnt % 2).astype(bool)
+            lo = hi
+    return out
+
+
 def point_in_ring(px: float, py: float, ring_x: np.ndarray, ring_y: np.ndarray) -> bool:
     return bool(points_in_ring(np.array([px]), np.array([py]), ring_x, ring_y)[0])
 

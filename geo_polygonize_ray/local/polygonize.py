@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from geo_polygonize_ray.geom.kernels import (
-    points_in_ring,
+    pair_points_in_rings,
     ring_centroid,
     ring_centroid_many,
     signed_area,
@@ -190,10 +190,6 @@ def _assemble_core(flat_x: np.ndarray, flat_y: np.ndarray, offsets: np.ndarray):
     shell_ids = np.flatnonzero(keep & (areas > 0))
     hole_ids = np.flatnonzero(keep & (areas < 0))
 
-    def ring(r: int) -> tuple[np.ndarray, np.ndarray]:
-        s, e = offsets[r], offsets[r + 1]
-        return flat_x[s:e], flat_y[s:e]
-
     minx, miny, maxx, maxy = bbox_many(flat_x, flat_y, offsets)
 
     # --- promotion anti-join (src/polygonizer.rs:151-185) ------------------
@@ -215,14 +211,15 @@ def _assemble_core(flat_x: np.ndarray, flat_y: np.ndarray, offsets: np.ndarray):
 
     shell_areas = np.abs(areas[shells])
 
-    # --- hole assignment (src/polygonizer.rs:199-249), batched -------------
+    # --- hole assignment (src/polygonizer.rs:199-249), fully batched -------
     # Equivalent restatement of "min-area shell that PIP-contains the hole
-    # centroid and has area > hole_area + 1e-6": process shells in ascending
-    # area order and give each still-unassigned eligible hole its first hit.
-    # Candidate holes per shell come from a uniform bucket grid over the
-    # hole centroids (the R-tree envelope query's role), so total work is
-    # sum(holes-in-shell-bbox), not O(shells x holes); a sorted-areas
-    # searchsorted short-circuit skips shells with no area-eligible hole.
+    # centroid and has area > hole_area + 1e-6": gather ALL area+bbox
+    # eligible (shell, hole) candidate pairs from a uniform bucket grid over
+    # the hole centroids (the R-tree envelope query's role), test them with
+    # ONE batched pairwise PIP, then give each hole the min-area hit
+    # (ties broken by ascending-area stable scan order, exactly like the
+    # sequential first-hit formulation this replaces).  Zero per-shell
+    # Python in the hot path.
     cx_all, cy_all = ring_centroid_many(flat_x, flat_y, offsets)
     n_h = len(hole_ids)
     assigned = np.full(n_h, -1, dtype=np.int64)
@@ -257,36 +254,55 @@ def _assemble_core(flat_x: np.ndarray, flat_y: np.ndarray, offsets: np.ndarray):
         sby0 = np.clip(np.floor((s_miny - gy0) / bh), 0, B - 1).astype(np.int64)
         sby1 = np.clip(np.floor((s_maxy - gy0) / bh), 0, B - 1).astype(np.int64)
 
-        shell_order = np.argsort(shell_areas, kind="stable")
-        shell_order = shell_order[has_elig[shell_order] & overlaps[shell_order]]
-        for si in shell_order.tolist():
-            sa = shell_areas[si]
-            rid = shells[si]
-            sx0, sy0, sx1, sy1 = s_minx[si], s_miny[si], s_maxx[si], s_maxy[si]
-            bx0, bx1 = sbx0[si], sbx1[si]
-            slices = []
-            for row in range(sby0[si], sby1[si] + 1):
-                a = np.searchsorted(sorted_bucket, row * B + bx0, side="left")
-                b = np.searchsorted(sorted_bucket, row * B + bx1, side="right")
-                if b > a:
-                    slices.append(border[a:b])
-            if not slices:
+        rank = np.empty(n_s, dtype=np.int64)
+        area_order = np.argsort(shell_areas, kind="stable")
+        rank[area_order] = np.arange(n_s)
+        sel = area_order[has_elig[area_order] & overlaps[area_order]]
+        # chunks of ascending-area shells: vectorized within a chunk, and
+        # holes assigned by earlier (smaller) chunks prune later (bigger)
+        # shells' candidate pairs — without this, the largest shells (whose
+        # bboxes cover everything) would be PIP-tested against every hole
+        CHUNK = 1024
+        for c0 in range(0, len(sel), CHUNK):
+            csel = sel[c0 : c0 + CHUNK]
+            nrows = (sby1[csel] - sby0[csel] + 1).astype(np.int64)
+            sr_shell = np.repeat(csel, nrows)
+            row_pos = np.arange(int(nrows.sum())) - np.repeat(np.cumsum(nrows) - nrows, nrows)
+            rowv = sby0[sr_shell] + row_pos
+            a = np.searchsorted(sorted_bucket, rowv * B + sbx0[sr_shell], side="left")
+            b = np.searchsorted(sorted_bucket, rowv * B + sbx1[sr_shell], side="right")
+            cnt = (b - a).astype(np.int64)
+            tot = int(cnt.sum())
+            if not tot:
                 continue
-            cand = slices[0] if len(slices) == 1 else np.concatenate(slices)
+            prep = np.repeat(np.arange(len(a)), cnt)
+            ppos = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            hidx = border[np.repeat(a, cnt) + ppos]
+            sidx = sr_shell[prep]
             m = (
-                (assigned[cand] == -1)
-                & (h_area[cand] < sa - 1e-6)
-                & (h_cx[cand] >= sx0)
-                & (h_cx[cand] <= sx1)
-                & (h_cy[cand] >= sy0)
-                & (h_cy[cand] <= sy1)
+                (assigned[hidx] == -1)
+                & (h_area[hidx] < shell_areas[sidx] - 1e-6)
+                & (h_cx[hidx] >= s_minx[sidx])
+                & (h_cx[hidx] <= s_maxx[sidx])
+                & (h_cy[hidx] >= s_miny[sidx])
+                & (h_cy[hidx] <= s_maxy[sidx])
             )
-            cand = cand[m]
-            if len(cand) == 0:
+            hidx, sidx = hidx[m], sidx[m]
+            if not len(hidx):
                 continue
-            rx, ry = ring(rid)
-            hit = points_in_ring(h_cx[cand], h_cy[cand], rx, ry)
-            assigned[cand[hit]] = si
+            inside = pair_points_in_rings(
+                h_cx[hidx], h_cy[hidx], shells[sidx], flat_x, flat_y, offsets
+            )
+            hidx, sidx = hidx[inside], sidx[inside]
+            if not len(hidx):
+                continue
+            # min-area winner per hole within the chunk; tie-break =
+            # position in the stable ascending-area shell order (exactly
+            # the sequential first-hit scan's behavior)
+            order2 = np.lexsort((rank[sidx], hidx))
+            hs, ss = hidx[order2], sidx[order2]
+            first = np.concatenate([[True], hs[1:] != hs[:-1]])
+            assigned[hs[first]] = ss[first]
 
     return (
         shells, n_orig, shell_areas, hole_ids, assigned, areas, cx_all, cy_all,

@@ -38,6 +38,7 @@ from geo_polygonize_ray.sources.fixtures import linework_table
 from geo_polygonize_ray.stages.linework import (
     SaltedTileAssigner,
     TileAssigner,
+    add_plane_key,
     linework_bboxes,
 )
 from geo_polygonize_ray.stages.trace import (
@@ -78,9 +79,42 @@ def polygonize_dataset(
     """linework Dataset -> polygons Dataset (POLYGON_SCHEMA)."""
     cfg = cfg or PipelineConfig(node_input=True)
 
+    has_plane = "plane_id" in ds.schema().names
+
+    if not cfg.tiled() and cfg.local_fastpath_rows and ds.count() <= cfg.local_fastpath_rows:
+        # small-input fast path: run in-process (see PipelineConfig note),
+        # through the same vectorized flat-assembly path as the tracer
+        from geo_polygonize_ray.stages.linework import stable_plane_key
+
+        local_tiler = TilePolygonizer(
+            assigner=None,
+            node_input=cfg.node_input,
+            snap_grid_size=cfg.snap_grid_size,
+            max_noding_iters=cfg.max_noding_iters,
+            ownership=False,
+        )
+        t = pa.concat_tables(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+        xs = t["xs"].to_pylist()
+        ys = t["ys"].to_pylist()
+        planes = t["plane_id"].to_pylist() if has_plane else ["plane-0"] * t.num_rows
+        by_plane: dict[str, list[np.ndarray]] = {}
+        for p, x, y in zip(planes, xs, ys):
+            by_plane.setdefault(p, []).append(np.stack([x, y], axis=1).astype(np.float64))
+        outs = []
+        for p in sorted(by_plane):
+            pt = local_tiler._polygonize_tile_table(by_plane[p], tile_id=0)
+            if has_plane:
+                pt = pt.append_column(
+                    "plane_key",
+                    pa.array(np.full(pt.num_rows, stable_plane_key(p), dtype=np.int64)),
+                )
+            outs.append(pt)
+        return rd.from_arrow(pa.concat_tables(outs))
+
     if not cfg.tiled():
-        # untiled: one logical tile covering everything; still expressed as
-        # the same group pipeline so the code path is identical.
+        # untiled: one logical tile per PLANE; still expressed as the same
+        # group pipeline so the code path is identical.  Multi-plane input
+        # parallelizes across planes (each is an independent graph).
         tiler_kwargs = dict(
             assigner=None,
             node_input=cfg.node_input,
@@ -88,11 +122,20 @@ def polygonize_dataset(
             max_noding_iters=cfg.max_noding_iters,
             ownership=False,
         )
-        ds = ds.map_batches(
-            lambda t: t.append_column("tile_id", pa.array(np.zeros(t.num_rows, dtype=np.int64))),
-            batch_format="pyarrow",
-        )
-        return ds.groupby("tile_id").map_groups(
+
+        def untiled_keys(t: pa.Table) -> pa.Table:
+            t = add_plane_key(t)
+            t = t.append_column("tile_id", pa.array(np.zeros(t.num_rows, dtype=np.int64)))
+            if "plane_key" in t.schema.names:
+                pk = t["plane_key"].to_numpy().view(np.uint64)
+                b = ((pk * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(64)
+                bucket = b.astype(np.int64)
+            else:
+                bucket = np.zeros(t.num_rows, dtype=np.int64)
+            return t.append_column("bucket", pa.array(bucket))
+
+        ds = ds.map_batches(untiled_keys, batch_format="pyarrow")
+        return ds.groupby("bucket").map_groups(
             TilePolygonizer(**tiler_kwargs), batch_format="pyarrow"
         )
 
@@ -100,6 +143,11 @@ def polygonize_dataset(
         bbox = dataset_bbox(ds)
     keep_cols = [c for c in ("plane_id", "line_id", "xs", "ys") if c in ds.schema().names]
     ds = ds.select_columns(keep_cols)  # never shuffle payload columns
+    if has_plane:
+        # int64 plane key replaces the plane_id string before the exchange;
+        # the shuffle key becomes (plane_key, tile_id) so overlapping planes
+        # stay separate graphs (reference: one Polygonizer per plane)
+        ds = ds.map_batches(add_plane_key, batch_format="pyarrow")
 
     # --- skew salting pre-pass (SURVEY.md §4.2, north_rule) ----------------
     # count linework rows per base tile with a cheap partial aggregate; over-
@@ -139,6 +187,9 @@ def polygonize_dataset(
         # (measured: the whole trace stage ran in 2 buckets = 5x regression)
         tid = t["tile_id"].to_numpy().astype(np.uint64)
         mixed = tid * np.uint64(0x9E3779B97F4A7C15)
+        if "plane_key" in t.schema.names:
+            pk = t["plane_key"].to_numpy().view(np.uint64)
+            mixed = mixed ^ (pk * np.uint64(0xC2B2AE3D27D4EB4F))
         b = ((mixed >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int64)
         return t.append_column("bucket", pa.array(b))
 

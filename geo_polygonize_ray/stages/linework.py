@@ -28,6 +28,32 @@ def linework_bboxes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray
     return bbox_many(xs, ys, xo)
 
 
+def stable_plane_key(plane_id: str) -> int:
+    """Deterministic 64-bit key for a plane id (sha1 prefix, never hash()).
+
+    Each plane is an independent polygonization universe (reference: one
+    ``Polygonizer`` instance per plane, src/polygonizer.rs:35); keying the
+    shuffle by (plane_key, tile_id) keeps overlapping planes from being
+    noded into one graph.  Collision probability for a 64-bit key is
+    ~n^2 / 2^65 — negligible for any realistic plane count.
+    """
+    import hashlib
+
+    return int.from_bytes(hashlib.sha1(plane_id.encode("utf-8")).digest()[:8], "big", signed=True)
+
+
+def add_plane_key(batch: pa.Table) -> pa.Table:
+    """Replace the plane_id STRING with an int64 plane_key before the
+    shuffle (hash computed once per distinct value per batch) — string
+    payloads stay out of the exchange."""
+    if "plane_id" not in batch.schema.names:
+        return batch
+    ids = batch["plane_id"].to_pylist()
+    lut = {v: stable_plane_key(v) for v in set(ids)}
+    keys = np.fromiter((lut[v] for v in ids), dtype=np.int64, count=len(ids))
+    return batch.drop_columns(["plane_id"]).append_column("plane_key", pa.array(keys))
+
+
 class TileAssigner:
     """flat_map each linework row to every buffered tile its bbox intersects
     (J5, reference src/tiling.rs:66-77: geometry *duplication*, not

@@ -88,24 +88,23 @@ class EscalatingTilePolygonizer:
         self.__name__ = "EscalatingTilePolygonizer"
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        has_plane = "plane_key" in group.schema.names
+        empty = RESOLVE_SCHEMA.empty_table()
+        if has_plane:
+            empty = empty.append_column("plane_key", pa.array([], pa.int64()))
         if group.num_rows == 0:
-            return RESOLVE_SCHEMA.empty_table()
-        tile_ids = group["tile_id"].to_numpy()
-        xs, xo = _list_bounds(group["xs"])
-        ys, _ = _list_bounds(group["ys"])
+            return empty
+        from geo_polygonize_ray.stages.trace import plane_tile_line_groups
+
         out = []
-        order = np.argsort(tile_ids, kind="stable")
-        st = tile_ids[order]
-        starts = np.flatnonzero(np.concatenate([[True], st[1:] != st[:-1]]))
-        ends = np.concatenate([starts[1:], [len(st)]])
-        for s, e in zip(starts, ends):
-            rows = order[s:e]
-            tid = int(st[s])
-            lines = [
-                np.stack([xs[xo[i] : xo[i + 1]], ys[xo[i] : xo[i + 1]]], axis=1) for i in rows
-            ]
-            out.append(self._tile(lines, tid))
-        return pa.concat_tables(out) if out else RESOLVE_SCHEMA.empty_table()
+        for tid, plane_key, lines in plane_tile_line_groups(group):
+            t = self._tile(lines, tid)
+            if has_plane:
+                t = t.append_column(
+                    "plane_key", pa.array(np.full(t.num_rows, plane_key, dtype=np.int64))
+                )
+            out.append(t)
+        return pa.concat_tables(out) if out else empty
 
     # -- leaf-grid helpers (vectorized; hot={} so leaf = base_tile * 64) ----
 
@@ -280,6 +279,10 @@ def polygonize_dataset_adaptive(
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
     keep_cols = [c for c in ("plane_id", "line_id", "xs", "ys") if c in ds.schema().names]
     base = ds.select_columns(keep_cols)
+    if "plane_id" in keep_cols:
+        from geo_polygonize_ray.stages.linework import add_plane_key
+
+        base = base.map_batches(add_plane_key, batch_format="pyarrow")
 
     span = max(bbox[2] - bbox[0], bbox[3] - bbox[1])
     buffer0 = max(cfg.tile_buffer, cfg.tile_size / 2.0)

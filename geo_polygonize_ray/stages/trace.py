@@ -40,6 +40,38 @@ POLYGON_SCHEMA = pa.schema(
 )
 
 
+def plane_tile_line_groups(group: pa.Table):
+    """Split one shuffle group into its independent polygonization cells:
+    yields (tile_id, plane_key, lines) per distinct (plane_key, tile_id)
+    pair — plane_key 0 when the table has no plane column."""
+    n = group.num_rows
+    if "tile_id" in group.schema.names:
+        tile_ids = group["tile_id"].to_numpy()
+    else:
+        tile_ids = np.zeros(n, dtype=np.int64)
+    planes = group["plane_key"].to_numpy() if "plane_key" in group.schema.names else None
+    xs, xo = _list_bounds(group["xs"])
+    ys, _ = _list_bounds(group["ys"])
+    if planes is None:
+        order = np.argsort(tile_ids, kind="stable")
+        st = tile_ids[order]
+        change = st[1:] != st[:-1]
+        sp = np.zeros(n, dtype=np.int64)
+    else:
+        order = np.lexsort((tile_ids, planes))
+        st = tile_ids[order]
+        sp = planes[order]
+        change = (st[1:] != st[:-1]) | (sp[1:] != sp[:-1])
+    starts = np.flatnonzero(np.concatenate([[True], change]))
+    ends = np.concatenate([starts[1:], [n]])
+    for s, e in zip(starts, ends):
+        rows = order[s:e]
+        lines = [
+            np.stack([xs[xo[i] : xo[i + 1]], ys[xo[i] : xo[i + 1]]], axis=1) for i in rows
+        ]
+        yield int(st[s]), int(sp[s]) if planes is not None else 0, lines
+
+
 def polygons_to_table(polys: list[Polygon], tile_id: int = 0) -> pa.Table:
     rows = {
         "tile_id": [],
@@ -142,32 +174,26 @@ class TilePolygonizer:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         """Process one shuffle group.  A group holds EVERY row of one or
-        more tiles (tiles are bucketed ``tile_id % B`` upstream so the Ray
+        more (plane, tile) cells (tiles are bucketed upstream so the Ray
         per-group overhead is paid per *bucket*, not per tile — the same
-        high-cardinality-key pattern as functions/agg.py); each tile is
-        still polygonized independently here."""
+        high-cardinality-key pattern as functions/agg.py); each (plane,
+        tile) cell is still polygonized independently here — overlapping
+        planes are never noded into one graph."""
+        has_plane = "plane_key" in group.schema.names
+        empty = POLYGON_SCHEMA.empty_table()
+        if has_plane:
+            empty = empty.append_column("plane_key", pa.array([], pa.int64()))
         if group.num_rows == 0:
-            return POLYGON_SCHEMA.empty_table()
-        if "tile_id" in group.schema.names:
-            tile_ids = group["tile_id"].to_numpy()
-        else:
-            tile_ids = np.zeros(group.num_rows, dtype=np.int64)
-        xs, xo = _list_bounds(group["xs"])
-        ys, _ = _list_bounds(group["ys"])
+            return empty
         out_tables = []
-        order = np.argsort(tile_ids, kind="stable")
-        sorted_tiles = tile_ids[order]
-        starts = np.flatnonzero(np.concatenate([[True], sorted_tiles[1:] != sorted_tiles[:-1]]))
-        ends = np.concatenate([starts[1:], [len(sorted_tiles)]])
-        for s, e in zip(starts, ends):
-            rows = order[s:e]
-            tile_id = int(sorted_tiles[s])
-            lines = [
-                np.stack([xs[xo[i] : xo[i + 1]], ys[xo[i] : xo[i + 1]]], axis=1)
-                for i in rows
-            ]
-            out_tables.append(self._polygonize_tile_table(lines, tile_id))
-        return pa.concat_tables(out_tables) if out_tables else POLYGON_SCHEMA.empty_table()
+        for tile_id, plane_key, lines in plane_tile_line_groups(group):
+            t = self._polygonize_tile_table(lines, tile_id)
+            if has_plane:
+                t = t.append_column(
+                    "plane_key", pa.array(np.full(t.num_rows, plane_key, dtype=np.int64))
+                )
+            out_tables.append(t)
+        return pa.concat_tables(out_tables) if out_tables else empty
 
     def _polygonize_tile_table(self, lines: list[np.ndarray], tile_id: int) -> pa.Table:
         """One tile -> Arrow polygons (flat assembly, no per-poly Python)."""
