@@ -408,8 +408,9 @@ def clip_segments_to_rect(
     y0: np.ndarray,
     x1: np.ndarray,
     y1: np.ndarray,
-    rect: tuple[float, float, float, float],
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    rect: tuple,
+    return_mask: bool = False,
+) -> tuple:
     """Liang-Barsky clip of a segment soup to a closed rectangle, vectorized.
 
     Used per tile to bound noding/tracing work by the LOCAL window instead of
@@ -417,6 +418,11 @@ def clip_segments_to_rect(
     unaffected (all their linework and intersections are local — same
     soundness argument as stages/stitch.py), and faces touching the clip
     boundary were never owned/trusted by this tile anyway.
+
+    ``rect`` entries may be scalars (one window) or per-segment arrays (each
+    segment clipped to its own window — the map-side pre-shuffle clip);
+    the float math is identical either way.  ``return_mask=True`` appends
+    the kept-row index array so callers can filter parallel columns.
     """
     rx0, ry0, rx1, ry1 = rect
     x0 = np.asarray(x0, dtype=np.float64)
@@ -446,6 +452,8 @@ def clip_segments_to_rect(
     cy0 = np.where(t0 > 0, y0 + t0 * dy, y0)
     cx1 = np.where(t1 < 1, x0 + t1 * dx, x1)
     cy1 = np.where(t1 < 1, y0 + t1 * dy, y1)
+    if return_mask:
+        return cx0[ok], cy0[ok], cx1[ok], cy1[ok], np.flatnonzero(ok)
     return cx0[ok], cy0[ok], cx1[ok], cy1[ok]
 
 

@@ -36,9 +36,11 @@ from geo_polygonize_ray.config import PipelineConfig
 from geo_polygonize_ray.local.polygonize import Polygon, polygonize_lines
 from geo_polygonize_ray.sources.fixtures import linework_table
 from geo_polygonize_ray.stages.linework import (
+    SaltedSegmentAssigner,
     SaltedTileAssigner,
     TileAssigner,
     add_plane_key,
+    explode_linework_to_segments,
     linework_bboxes,
 )
 from geo_polygonize_ray.stages.trace import (
@@ -143,22 +145,38 @@ def polygonize_dataset(
         bbox = dataset_bbox(ds)
     keep_cols = [c for c in ("plane_id", "line_id", "xs", "ys") if c in ds.schema().names]
     ds = ds.select_columns(keep_cols)  # never shuffle payload columns
+    import ray
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    # spread the SLIM input across blocks BEFORE tile assignment: a
+    # from_arrow/local table arrives as one block, which would serialize the
+    # whole assignment stage into a single task (and a later repartition
+    # would move the already-duplicated rows — strictly more bytes)
+    ds = ds.repartition(max(2, n_cpus * 2))
     if has_plane:
         # int64 plane key replaces the plane_id string before the exchange;
         # the shuffle key becomes (plane_key, tile_id) so overlapping planes
         # stay separate graphs (reference: one Polygonizer per plane)
         ds = ds.map_batches(add_plane_key, batch_format="pyarrow")
 
+    # explode linework to FIXED-WIDTH segments before assignment: each
+    # duplicated (segment, tile) copy is clipped to its tile window
+    # map-side, so the all-to-all exchange carries ~48 B/row pieces instead
+    # of whole (possibly tile-spanning) linestrings — the decisive shuffle-
+    # bandwidth lever at scale (SURVEY.md §1.3: segments are the hot payload)
+    ds = ds.map_batches(explode_linework_to_segments, batch_format="pyarrow")
+
     # --- skew salting pre-pass (SURVEY.md §4.2, north_rule) ----------------
-    # count linework rows per base tile with a cheap partial aggregate; over-
-    # full tiles get subdivided k x k so no single shuffle group explodes.
+    # count segments per base tile with a cheap partial aggregate; over-full
+    # tiles get subdivided k x k so no single shuffle group explodes.
     hot: dict[int, int] = {}
     if cfg.salt_threshold and cfg.salt_threshold > 0:
-        probe = TileAssigner(bbox, cfg.tile_size, cfg.tile_buffer)
+        ds = ds.materialize()  # pre-pass + main pipeline both consume it
+        probe = SaltedSegmentAssigner(bbox, cfg.tile_size, cfg.tile_buffer, hot={})
 
         def tile_counts(batch: pa.Table) -> pa.Table:
             assigned = probe(batch)
-            tid, cnt = np.unique(assigned["tile_id"].to_numpy(), return_counts=True)
+            tid, cnt = np.unique(assigned["tile_id"].to_numpy() // 64, return_counts=True)
             return pa.table({"tile_id": tid, "n": cnt})
 
         parts = ds.map_batches(tile_counts, batch_format="pyarrow").to_pandas()
@@ -168,16 +186,14 @@ def polygonize_dataset(
                 k = int(np.clip(np.ceil(np.sqrt(n / cfg.salt_threshold)), 2, 8))
                 hot[int(tid)] = k
 
-    assigner = SaltedTileAssigner(bbox, cfg.tile_size, cfg.tile_buffer, hot=hot)
-    ds = ds.map_batches(assigner, batch_format="pyarrow", batch_size=cfg.batch_size)
+    assigner = SaltedSegmentAssigner(bbox, cfg.tile_size, cfg.tile_buffer, hot=hot)
+    ds = ds.map_batches(
+        assigner.assign_and_clip, batch_format="pyarrow", batch_size=cfg.batch_size
+    )
     # Shuffle key = bucket of tiles, NOT raw tile_id: Ray pays a per-group
     # Python overhead in map_groups, so thousands of tiles are folded into
     # ~4x cores buckets and split back apart inside the tracer (which still
-    # polygonizes each tile independently).  Parallelism of the sort/groupby
-    # follows block count, hence the repartition first.
-    import ray
-
-    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    # polygonizes each tile independently).
     n_tiles = assigner.n_cols * assigner.n_rows
     n_buckets = max(2, min(n_tiles, n_cpus * 4))
 

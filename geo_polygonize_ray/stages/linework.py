@@ -76,6 +76,10 @@ class TileAssigner:
         self.n_cols = max(int(np.ceil((self.maxx - self.minx) / tile_size)), 1)
         self.n_rows = max(int(np.ceil((self.maxy - self.miny) / tile_size)), 1)
 
+    def _bboxes(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Per-row bbox used for tile membership (overridden for segments)."""
+        return linework_bboxes(batch)
+
     def tile_rect(self, tile_id: int) -> tuple[float, float, float, float]:
         r, c = divmod(tile_id, self.n_cols)
         x0 = self.minx + c * self.tile_size
@@ -92,7 +96,7 @@ class TileAssigner:
         n = batch.num_rows
         if n == 0:
             return batch.append_column("tile_id", pa.array([], pa.int64()))
-        bminx, bminy, bmaxx, bmaxy = linework_bboxes(batch)
+        bminx, bminy, bmaxx, bmaxy = self._bboxes(batch)
         ts, buf = self.tile_size, self.buffer
         # tile index ranges whose BUFFERED rect intersects the row bbox
         # (closed-interval overlap, matching geo::Intersects at tiling.rs:74).
@@ -118,6 +122,44 @@ class TileAssigner:
         tile_id = (np.repeat(r0, counts) + dr) * self.n_cols + (np.repeat(c0, counts) + dc)
         out = batch.take(pa.array(row_idx))
         return out.append_column("tile_id", pa.array(tile_id, pa.int64()))
+
+
+SEGMENT_COLS = ("x0", "y0", "x1", "y1")
+
+
+def explode_linework_to_segments(batch: pa.Table) -> pa.Table:
+    """linework rows (xs/ys lists) -> fixed-width segment rows — the hot
+    shuffle payload (SURVEY.md §1.3: "pure fixed-width columns").  Exploding
+    BEFORE tile assignment lets each duplicated copy be clipped map-side, so
+    the exchange carries ~window-sized pieces instead of whole linestrings.
+    Vectorized over the list offsets; plane_key (if present) is repeated.
+    """
+    xs, xo = _list_bounds(batch["xs"])
+    ys, _ = _list_bounds(batch["ys"])
+    n = batch.num_rows
+    lens = np.diff(xo)
+    nseg = np.maximum(lens - 1, 0)
+    total = int(nseg.sum())
+    rep = np.repeat(np.arange(n), nseg)
+    pos = np.arange(total) - np.repeat(np.cumsum(nseg) - nseg, nseg)
+    idx = np.repeat(xo[:-1], nseg) + pos
+    cols = {
+        "x0": pa.array(xs[idx], pa.float64()),
+        "y0": pa.array(ys[idx], pa.float64()),
+        "x1": pa.array(xs[idx + 1], pa.float64()),
+        "y1": pa.array(ys[idx + 1], pa.float64()),
+    }
+    if "plane_key" in batch.schema.names:
+        cols["plane_key"] = pa.array(batch["plane_key"].to_numpy()[rep])
+    return pa.table(cols)
+
+
+def segment_bboxes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    x0 = batch["x0"].to_numpy()
+    y0 = batch["y0"].to_numpy()
+    x1 = batch["x1"].to_numpy()
+    y1 = batch["y1"].to_numpy()
+    return np.minimum(x0, x1), np.minimum(y0, y1), np.maximum(x0, x1), np.maximum(y0, y1)
 
 
 # max sub-tiles per salted base tile: k x k with k <= 8 -> 6 bits of sub key
@@ -153,6 +195,33 @@ class SaltedTileAssigner(TileAssigner):
         h = (y1 - y0) / k
         return (x0 + c * w, y0 + r * h, x0 + (c + 1) * w, y0 + (r + 1) * h)
 
+    def leaf_rects(
+        self, leaf_ids: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Vectorized leaf_rect over an int64 array (same math, incl. the
+        global-bbox clamp and hot-tile k x k subdivision)."""
+        leaf = np.asarray(leaf_ids, dtype=np.int64)
+        base, sub = np.divmod(leaf, _SALT_SUBS)
+        r, c = np.divmod(base, self.n_cols)
+        x0 = self.minx + c * self.tile_size
+        y0 = self.miny + r * self.tile_size
+        x1 = np.minimum(x0 + self.tile_size, self.maxx)
+        y1 = np.minimum(y0 + self.tile_size, self.maxy)
+        if self.hot:
+            hk = np.array(sorted(self.hot), dtype=np.int64)
+            kv = np.array([self.hot[int(k)] for k in hk], dtype=np.int64)
+            p = np.searchsorted(hk, base)
+            pc = np.minimum(p, len(hk) - 1)
+            k = np.where(hk[pc] == base, kv[pc], 1)
+            rr, cc = np.divmod(sub, k)
+            w = (x1 - x0) / k
+            h = (y1 - y0) / k
+            x0 = x0 + cc * w
+            y0 = y0 + rr * h
+            x1 = x0 + w
+            y1 = y0 + h
+        return x0, y0, x1, y1
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         base = super().__call__(batch)
         if not self.hot or base.num_rows == 0:
@@ -176,7 +245,7 @@ class SaltedTileAssigner(TileAssigner):
         hot_rows = np.flatnonzero(is_hot)
         if len(hot_rows):
             t = base.take(pa.array(hot_rows))
-            bminx, bminy, bmaxx, bmaxy = linework_bboxes(t)
+            bminx, bminy, bmaxx, bmaxy = self._bboxes(t)
             htids = t["tile_id"].to_numpy()
             buf = self.buffer
             rep_rows = []
@@ -220,3 +289,47 @@ class SaltedTileAssigner(TileAssigner):
                     )
                 )
         return pa.concat_tables(out_parts) if out_parts else base.slice(0, 0)
+
+
+class SaltedSegmentAssigner(SaltedTileAssigner):
+    """SaltedTileAssigner over FIXED-WIDTH segment rows, with map-side
+    clipping: each duplicated (segment, tile) copy is Liang-Barsky-clipped
+    to its tile's buffered window BEFORE the shuffle, so the exchange
+    carries window-sized pieces (~48 B/row) instead of whole linestrings.
+    Identical float math to the tracer's former post-shuffle clip — the
+    noder sees byte-identical input."""
+
+    def _bboxes(self, batch: pa.Table):
+        return segment_bboxes(batch)
+
+    def assign_and_clip(self, batch: pa.Table) -> pa.Table:
+        from geo_polygonize_ray.geom.kernels import clip_segments_to_rect
+
+        t = self(batch)
+        empty_cols = {c: pa.array([], pa.float64()) for c in SEGMENT_COLS}
+        empty_cols["tile_id"] = pa.array([], pa.int64())
+        if "plane_key" in batch.schema.names:
+            empty_cols["plane_key"] = pa.array([], pa.int64())
+        if t.num_rows == 0:
+            return pa.table(empty_cols)
+        tid = t["tile_id"].to_numpy()
+        lx0, ly0, lx1, ly1 = self.leaf_rects(tid)
+        buf = self.buffer
+        cx0, cy0, cx1, cy1, keep = clip_segments_to_rect(
+            t["x0"].to_numpy(),
+            t["y0"].to_numpy(),
+            t["x1"].to_numpy(),
+            t["y1"].to_numpy(),
+            (lx0 - buf, ly0 - buf, lx1 + buf, ly1 + buf),
+            return_mask=True,
+        )
+        cols = {
+            "x0": pa.array(cx0, pa.float64()),
+            "y0": pa.array(cy0, pa.float64()),
+            "x1": pa.array(cx1, pa.float64()),
+            "y1": pa.array(cy1, pa.float64()),
+            "tile_id": pa.array(tid[keep]),
+        }
+        if "plane_key" in t.schema.names:
+            cols["plane_key"] = pa.array(t["plane_key"].to_numpy()[keep])
+        return pa.table(cols)

@@ -40,6 +40,33 @@ POLYGON_SCHEMA = pa.schema(
 )
 
 
+def plane_tile_segment_groups(group: pa.Table):
+    """Like plane_tile_line_groups, but over fixed-width SEGMENT tables:
+    yields (tile_id, plane_key, (x0, y0, x1, y1)) per (plane, tile) cell."""
+    n = group.num_rows
+    tile_ids = group["tile_id"].to_numpy() if "tile_id" in group.schema.names else np.zeros(n, dtype=np.int64)
+    planes = group["plane_key"].to_numpy() if "plane_key" in group.schema.names else None
+    x0 = group["x0"].to_numpy()
+    y0 = group["y0"].to_numpy()
+    x1 = group["x1"].to_numpy()
+    y1 = group["y1"].to_numpy()
+    if planes is None:
+        order = np.argsort(tile_ids, kind="stable")
+        st = tile_ids[order]
+        change = st[1:] != st[:-1]
+        sp = np.zeros(n, dtype=np.int64)
+    else:
+        order = np.lexsort((tile_ids, planes))
+        st = tile_ids[order]
+        sp = planes[order]
+        change = (st[1:] != st[:-1]) | (sp[1:] != sp[:-1])
+    starts = np.flatnonzero(np.concatenate([[True], change]))
+    ends = np.concatenate([starts[1:], [n]])
+    for s, e in zip(starts, ends):
+        rows = order[s:e]
+        yield int(st[s]), int(sp[s]), (x0[rows], y0[rows], x1[rows], y1[rows])
+
+
 def plane_tile_line_groups(group: pa.Table):
     """Split one shuffle group into its independent polygonization cells:
     yields (tile_id, plane_key, lines) per distinct (plane_key, tile_id)
@@ -186,14 +213,47 @@ class TilePolygonizer:
         if group.num_rows == 0:
             return empty
         out_tables = []
-        for tile_id, plane_key, lines in plane_tile_line_groups(group):
-            t = self._polygonize_tile_table(lines, tile_id)
+        if "x0" in group.schema.names:  # pre-clipped fixed-width segments
+            cells = (
+                (tid, pk, ("segments", segs))
+                for tid, pk, segs in plane_tile_segment_groups(group)
+            )
+        else:
+            cells = (
+                (tid, pk, ("lines", lines))
+                for tid, pk, lines in plane_tile_line_groups(group)
+            )
+        for tile_id, plane_key, (kind, payload) in cells:
+            if kind == "segments":
+                t = self._polygonize_tile_segments(payload, tile_id)
+            else:
+                t = self._polygonize_tile_table(payload, tile_id)
             if has_plane:
                 t = t.append_column(
                     "plane_key", pa.array(np.full(t.num_rows, plane_key, dtype=np.int64))
                 )
             out_tables.append(t)
         return pa.concat_tables(out_tables) if out_tables else empty
+
+    def _polygonize_tile_segments(
+        self, segs: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray], tile_id: int
+    ) -> pa.Table:
+        """One tile from PRE-CLIPPED segment soup (SaltedSegmentAssigner):
+        noding always applies (the distributed path is node_input=True);
+        clipping already happened map-side with identical float math."""
+        if self.ownership and self.assigner is not None:
+            if hasattr(self.assigner, "leaf_rect"):
+                owner_rect = self.assigner.leaf_rect(tile_id)
+            else:
+                owner_rect = self.assigner.tile_rect(tile_id)
+        else:
+            owner_rect = None
+        x0, y0, x1, y1 = segs
+        noder = SnapNoder(self.snap_grid_size, self.max_noding_iters)
+        x0, y0, x1, y1 = noder.node(x0, y0, x1, y1)
+        fx, fy, offs = trace_rings(x0, y0, x1, y1)
+        flat = assemble_flat(fx, fy, offs, owner_rect=owner_rect)
+        return flat_to_table(flat, tile_id)
 
     def _polygonize_tile_table(self, lines: list[np.ndarray], tile_id: int) -> pa.Table:
         """One tile -> Arrow polygons (flat assembly, no per-poly Python)."""
