@@ -294,15 +294,68 @@ def _band_keys(sig_matrix: np.ndarray, bands: int) -> np.ndarray:
 _EMPTY_PAIRS = {"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)}
 
 
-def _dedup_pairs(pairs_ds: "rd.Dataset") -> "rd.Dataset":
-    """Distinct (doc_a, doc_b) rows (a pair can collide in several
-    bands/grams) — hash-bucketed exact dedup, no driver materialization."""
-    from geo_polygonize_ray.functions import bucketed_groupby
+def _cand_id_set(cand_ds) -> frozenset:
+    """Distinct doc ids of a (doc_a, doc_b) pairs Dataset — np.unique over
+    the pulled columns, never a per-element Python comprehension (a
+    templated corpus can have millions of candidate pairs)."""
+    parts = [
+        np.concatenate(
+            [
+                b["doc_a"].to_numpy(zero_copy_only=False),
+                b["doc_b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        for b in cand_ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    if not parts:
+        return frozenset()
+    return frozenset(np.unique(np.concatenate(parts)).tolist())
 
-    return bucketed_groupby(
-        pairs_ds,
-        ["doc_a", "doc_b"],
-        lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
+
+def _pairs_from_groups(
+    key: np.ndarray, doc: np.ndarray, cap: int, what: str, log_dropped: bool = True
+) -> pd.DataFrame:
+    """All within-group (doc_a < doc_b) pairs of a (key, doc) table,
+    fully vectorized across variable-size groups (no per-group Python —
+    a bucket can hold ~100k distinct keys).  Groups larger than ``cap``
+    generate no pairs (boilerplate bands / stop-grams)."""
+    order = np.lexsort((doc, key))
+    k = key[order]
+    d = doc[order]
+    keep = np.concatenate([[True], (k[1:] != k[:-1]) | (d[1:] != d[:-1])])
+    k = k[keep]
+    d = d[keep]
+    starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+    lens = np.diff(np.concatenate([starts, [len(k)]]))
+    hot = lens > cap
+    if hot.any() and log_dropped:
+        print(
+            f"[{what}] dropping {int(hot.sum())} bucket(s) over cap {cap} "
+            f"(largest: {int(lens.max())} docs)"
+        )
+    ok = (lens >= 2) & ~hot
+    gs = starts[ok]
+    gl = lens[ok].astype(np.int64)
+    if not len(gs):
+        return pd.DataFrame(_EMPTY_PAIRS)
+    # two-level expansion: (group, i) rows with i in 0..L-2, then each row
+    # expands to its partners j = i+1..L-1 — all repeat/cumsum arithmetic
+    rows_per_g = gl - 1
+    l1 = np.repeat(np.arange(len(gs)), rows_per_g)
+    i_in_g = np.arange(int(rows_per_g.sum())) - np.repeat(
+        np.cumsum(rows_per_g) - rows_per_g, rows_per_g
+    )
+    c2 = gl[l1] - 1 - i_in_g
+    l2 = np.repeat(np.arange(len(l1)), c2)
+    j_off = np.arange(int(c2.sum())) - np.repeat(np.cumsum(c2) - c2, c2)
+    gi = l1[l2]
+    ii = i_in_g[l2]
+    jj = ii + 1 + j_off
+    return pd.DataFrame(
+        {
+            "doc_a": d[gs[gi] + ii].astype(np.int64),
+            "doc_b": d[gs[gi] + jj].astype(np.int64),
+        }
     )
 
 
@@ -353,27 +406,17 @@ def minhash_lsh_pairs(
     from geo_polygonize_ray.functions import bucketed_groupby
 
     def pairs_in_bands(g: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for key, grp in g.groupby("band_key"):
-            docs = np.sort(grp["doc_id"].unique())
-            n = len(docs)
-            if n < 2:
-                continue
-            if n > max_bucket:
-                print(
-                    f"[minhash_lsh_pairs] dropping band bucket {key}: {n} docs "
-                    f"> cap {max_bucket} (boilerplate-heavy band)"
-                )
-                continue
-            ia, ib = np.triu_indices(n, 1)
-            outs.append(
-                pd.DataFrame(
-                    {"doc_a": docs[ia].astype(np.int64), "doc_b": docs[ib].astype(np.int64)}
-                )
-            )
-        return pd.concat(outs) if outs else pd.DataFrame(_EMPTY_PAIRS)
+        return _pairs_from_groups(
+            g["band_key"].to_numpy(),
+            g["doc_id"].to_numpy(np.int64),
+            max_bucket,
+            "minhash_lsh_pairs",
+        )
 
-    cand = _dedup_pairs(bucketed_groupby(banded, "band_key", pairs_in_bands)).materialize()
+    # NOTE: the same pair can surface from several bands; the duplicate
+    # estimates are identical, so dedup happens on the (small, driver-bound
+    # anyway) OUTPUT instead of paying an extra distributed shuffle here.
+    cand = bucketed_groupby(banded, "band_key", pairs_in_bands).materialize()
     if cand.count() == 0:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
 
@@ -383,13 +426,7 @@ def minhash_lsh_pairs(
     # return value, which reaches the driver anyway) are gathered into one
     # matrix, broadcast once via ray.put, and the Jaccard estimate runs
     # vectorized inside map_batches over the distributed pairs dataset.
-    cand_ids_ref = ray.put(
-        frozenset(
-            int(x)
-            for b in cand.iter_batches(batch_format="pandas")
-            for x in np.concatenate([b["doc_a"].to_numpy(), b["doc_b"].to_numpy()])
-        )
-    )
+    cand_ids_ref = ray.put(_cand_id_set(cand))
 
     def only_cand_sigs(b: pd.DataFrame) -> pd.DataFrame:
         ids = ray.get(cand_ids_ref)
@@ -414,6 +451,7 @@ def minhash_lsh_pairs(
 
     res = cand.map_batches(estimate, batch_format="pandas").to_pandas()
     if len(res):
+        res = res.drop_duplicates(["doc_a", "doc_b"])
         res["est_jaccard"] = r4(res["est_jaccard"])
         res = res.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return res
@@ -550,63 +588,92 @@ def ngram_jaccard_pairs(
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        gram_hashes: list[int] = []
-        doc_ids: list[int] = []
-        for did, text in zip(batch["doc_id"].to_numpy(), batch["text"]):
+        grams_all: list[str] = []
+        counts: list[int] = []
+        for text in batch["text"]:
             words = text.lower().split()
             grams = {" ".join(words[i : i + k]) for i in range(max(len(words) - k + 1, 1))}
-            gram_hashes.extend(_stable_hash64(g) for g in grams)
-            doc_ids.extend([did] * len(grams))
-        return pd.DataFrame(
-            {"gram_hash": np.asarray(gram_hashes, dtype=np.int64), "doc_id": np.asarray(doc_ids, dtype=np.int64)}
-        )
+            grams_all.extend(grams)
+            counts.append(len(grams))
+        # grouping-only hash: pandas' vectorized siphash (fixed default key,
+        # deterministic across processes) replaces 1M python sha1 calls; any
+        # rare collision merely adds a candidate pair that the EXACT-jaccard
+        # verify then thresholds, so the output is unchanged
+        gram_hashes = pd.util.hash_array(np.asarray(grams_all, dtype=object)).view(np.int64)
+        doc_ids = np.repeat(batch["doc_id"].to_numpy(np.int64), counts)
+        return pd.DataFrame({"gram_hash": gram_hashes, "doc_id": doc_ids})
 
     grams = ds.map_batches(explode, batch_format="pandas", batch_size=512)
     from geo_polygonize_ray.functions import bucketed_groupby
 
     def pairs_in_grams(g: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, grp in g.groupby("gram_hash"):
-            docs = np.sort(grp["doc_id"].unique())
-            n = len(docs)
-            if n < 2 or n > max_gram_docs:  # stop-grams generate no pairs
-                continue
-            ia, ib = np.triu_indices(n, 1)
-            outs.append(
-                pd.DataFrame(
-                    {"doc_a": docs[ia].astype(np.int64), "doc_b": docs[ib].astype(np.int64)}
-                )
-            )
-        return pd.concat(outs) if outs else pd.DataFrame(_EMPTY_PAIRS)
+        # stop-grams (shared by > max_gram_docs docs) generate no pairs by
+        # design — a modeling choice, not a coverage cap, so no drop log
+        return _pairs_from_groups(
+            g["gram_hash"].to_numpy(),
+            g["doc_id"].to_numpy(np.int64),
+            max_gram_docs,
+            "ngram_jaccard_pairs",
+            log_dropped=False,
+        )
 
-    cand = _dedup_pairs(bucketed_groupby(grams, "gram_hash", pairs_in_grams)).to_pandas()
-    if not len(cand):
+    # near-dup doc pairs share MANY grams, so the raw candidate stream can
+    # be ~100x the unique pair count — dedup distributed (bucketed exact
+    # distinct); the candidate set stays a Dataset (a templated corpus can
+    # produce millions of candidates)
+    cand = bucketed_groupby(
+        bucketed_groupby(grams, "gram_hash", pairs_in_grams),
+        ["doc_a", "doc_b"],
+        lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
+    ).materialize()
+    if cand.count() == 0:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    cand = cand.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
-    # verify exact jaccard: materialize ONLY the candidate docs (broadcast
-    # id-set filter at the read — the corpus itself streams past untouched)
-    cand_ids_ref = ray.put(frozenset(cand["doc_a"]).union(cand["doc_b"]))
+    # distributed exact-jaccard verify: per-doc SORTED gram-hash arrays for
+    # the candidate docs are broadcast once (~#cand_docs x grams x 8 B) and
+    # each pair batch intersects them worker-side — no driver loops.  Gram
+    # identity via the same 64-bit hash; a collision would merely merge two
+    # grams of one doc (probability ~grams^2/2^64, negligible).
+    cand_ids_ref = ray.put(_cand_id_set(cand))
 
-    def only_cands(b: pd.DataFrame) -> pd.DataFrame:
+    def cand_gram_sets(b: pd.DataFrame) -> pd.DataFrame:
         ids = ray.get(cand_ids_ref)
-        return b[b["doc_id"].isin(ids)]
+        b = b[b["doc_id"].isin(ids)]
+        docs, hashes = [], []
+        for did, text in zip(b["doc_id"].to_numpy(), b["text"]):
+            words = text.lower().split()
+            g = {" ".join(words[i : i + k]) for i in range(max(len(words) - k + 1, 1))}
+            docs.append(did)
+            hashes.append(
+                np.unique(pd.util.hash_array(np.asarray(sorted(g), dtype=object)).view(np.int64))
+            )
+        return pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64), "grams": hashes})
 
-    texts = ds.map_batches(only_cands, batch_format="pandas").to_pandas()
-    gram_sets = {
-        r.doc_id: {
-            " ".join(r.text.lower().split()[i : i + k])
-            for i in range(max(len(r.text.split()) - k + 1, 1))
-        }
-        for r in texts.itertuples()
-    }
-    jac = []
-    for r in cand.itertuples():
-        a, b = gram_sets[r.doc_a], gram_sets[r.doc_b]
-        jac.append(len(a & b) / max(len(a | b), 1))
-    cand["jaccard"] = r4(jac)
-    cand = cand[cand["jaccard"] >= threshold]
-    return cand.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    sets_df = ds.map_batches(cand_gram_sets, batch_format="pandas").to_pandas()
+    sets_ref = ray.put(
+        {int(r.doc_id): np.asarray(r.grams, dtype=np.int64) for r in sets_df.itertuples()}
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        gs = ray.get(sets_ref)
+        a_ids = batch["doc_a"].to_numpy(np.int64)
+        b_ids = batch["doc_b"].to_numpy(np.int64)
+        jac = np.empty(len(a_ids))
+        for i in range(len(a_ids)):
+            a = gs[int(a_ids[i])]
+            b = gs[int(b_ids[i])]
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            jac[i] = inter / max(len(a) + len(b) - inter, 1)
+        out = pd.DataFrame({"doc_a": a_ids, "doc_b": b_ids, "jaccard": jac})
+        return out[out["jaccard"] >= threshold]
+
+    res = cand.map_batches(verify, batch_format="pandas", batch_size=8192).to_pandas()
+    if len(res):
+        res["jaccard"] = r4(res["jaccard"])
+        res = res.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    else:
+        res = pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    return res
 
 
 class Fingerprinter:
