@@ -64,21 +64,61 @@ def rasterize_faces(
     cw = np.flatnonzero(areas < -1e-9)
     order = cw[np.argsort(-np.abs(areas[cw]), kind="stable")]  # big -> small
     owner = np.full((h, w), -1, dtype=np.int64)
+    # raster-derived linework is axis-aligned on the integer grid (and
+    # noding keeps it there), so each ring's interior comes from a
+    # vectorized scanline parity fill — O(edges + pixels) instead of the
+    # O(bbox * edges) per-ring PIP; pixel centers at +0.5 never touch the
+    # integer linework, so the parity is identical to the crossing test
+    axis_aligned = bool(
+        np.all((flat_x == np.floor(flat_x)) & (flat_y == np.floor(flat_y)))
+    )
     for r in order:
         s, e = offsets[r], offsets[r + 1]
-        mask = _ring_mask(flat_x[s:e], flat_y[s:e], w, h)
+        rx, ry = flat_x[s:e], flat_y[s:e]
+        if axis_aligned:
+            mask = _ring_mask_scanline(rx, ry, w, h)
+        else:
+            mask = _ring_mask(rx, ry, w, h)
         owner[mask] = r
-    out = np.zeros_like(source)
-    for r in order:
-        m = owner == r
-        if not m.any():
-            continue
-        ys, xs = np.nonzero(m)
-        out[m] = source[ys[0], xs[0]]
-    unowned = owner == -1
+    # one source pixel per owner ring -> vectorized color gather
+    flat_owner = owner.ravel()
+    uniq, first_idx = np.unique(flat_owner, return_index=True)
+    colors = source.reshape(-1, 3)[first_idx]
+    out = colors[np.searchsorted(uniq, flat_owner)].reshape(h, w, 3)
+    unowned = owner == -1  # pruned-dangle pixels keep their own source value
     if unowned.any():
         out[unowned] = source[unowned]
     return out
+
+
+def _ring_mask_scanline(rx: np.ndarray, ry: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Even-odd interior of an axis-aligned integer ring via scanline
+    parity: each VERTICAL edge at column x spanning rows [ylo, yhi) flips
+    the parity of every pixel center right of it (c + 0.5 > x <=> c >= x).
+    Bit-identical to the crossing-parity PIP for off-grid pixel centers."""
+    vx = rx[:-1] == rx[1:]
+    if not vx.any():
+        return np.zeros((h, w), dtype=bool)
+    x = rx[:-1][vx].astype(np.int64)
+    ya = ry[:-1][vx]
+    yb = ry[1:][vx]
+    ylo = np.minimum(ya, yb).astype(np.int64)
+    yhi = np.maximum(ya, yb).astype(np.int64)
+    ylo = np.clip(ylo, 0, h)
+    yhi = np.clip(yhi, 0, h)
+    nrows = np.maximum(yhi - ylo, 0)
+    keep = (nrows > 0) & (x < w)
+    x, ylo, nrows = x[keep], ylo[keep], nrows[keep]
+    total = int(nrows.sum())
+    if total == 0:
+        return np.zeros((h, w), dtype=bool)
+    rows = np.repeat(ylo, nrows) + (
+        np.arange(total) - np.repeat(np.cumsum(nrows) - nrows, nrows)
+    )
+    cols = np.clip(np.repeat(x, nrows), 0, w - 1)
+    diff = np.zeros((h, w), dtype=np.int32)
+    np.add.at(diff, (rows, cols), 1)
+    return (np.cumsum(diff, axis=1) & 1).astype(bool)
 
 
 def _ring_mask(rx: np.ndarray, ry: np.ndarray, w: int, h: int) -> np.ndarray:
