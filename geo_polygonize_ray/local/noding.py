@@ -126,13 +126,103 @@ class SnapNoder:
         # GEOS's noder always dedups; we match GEOS (and the test).
         x0, y0, x1, y1 = _canonicalize_dedup(x0, y0, x1, y1)
 
+        # Axis-aligned soups (grid benches, raster-derived linework) take a
+        # fast path: intersections are exact coordinate COPIES (the crossing
+        # of a vertical and a horizontal is (x_v, y_h); overlap endpoints
+        # are endpoint copies), so after ONE full split round every further
+        # intersection of sub-segments lies at existing endpoints — the
+        # fixpoint is reached and the verification iteration is provably a
+        # no-op.  The generic path keeps the reference's iterate-to-fixpoint
+        # loop (float intersection coords need re-checking after snapping).
+        aa = bool(np.all((x0 == x1) | (y0 == y1))) if len(x0) else True
+
         for _ in range(self.max_iter):
-            splits = self._find_splits(x0, y0, x1, y1)
+            splits = (
+                self._find_splits_aa(x0, y0, x1, y1)
+                if aa
+                else self._find_splits(x0, y0, x1, y1)
+            )
             if splits is None:
                 break
             split_seg, split_x, split_y = splits
             x0, y0, x1, y1 = self._apply_splits(x0, y0, x1, y1, split_seg, split_x, split_y)
+            if aa:
+                break
         return x0, y0, x1, y1
+
+    # ------------------------------------------------------------------
+    def _find_splits_aa(self, x0, y0, x1, y1):
+        """Axis-aligned split finder: exact interval arithmetic, no robust
+        predicates.  Same split set as the generic path (V x H crossings,
+        collinear overlaps split at both overlap endpoints; points equal to
+        a segment's endpoints are not splits)."""
+        i, j = _candidate_pairs(x0, y0, x1, y1)
+        if len(i) == 0:
+            return None
+        vert = x0 == x1
+
+        seg_out: list[np.ndarray] = []
+        px_out: list[np.ndarray] = []
+        py_out: list[np.ndarray] = []
+
+        def register(sides, px, py):
+            sx = snap_to_grid(px, self.grid_size)
+            sy = snap_to_grid(py, self.grid_size)
+            for s in sides:
+                need = ~(((sx == x0[s]) & (sy == y0[s])) | ((sx == x1[s]) & (sy == y1[s])))
+                seg_out.append(s[need])
+                px_out.append(sx[need])
+                py_out.append(sy[need])
+
+        vi, vj = vert[i], vert[j]
+
+        # --- V x H crossings --------------------------------------------
+        cross = vi != vj
+        if cross.any():
+            ci, cj = i[cross], j[cross]
+            v = np.where(vert[ci], ci, cj)
+            hs = np.where(vert[ci], cj, ci)
+            xv = x0[v]
+            yh = y0[hs]
+            ok = (
+                (xv >= np.minimum(x0[hs], x1[hs]))
+                & (xv <= np.maximum(x0[hs], x1[hs]))
+                & (yh >= np.minimum(y0[v], y1[v]))
+                & (yh <= np.maximum(y0[v], y1[v]))
+            )
+            if ok.any():
+                register((v[ok], hs[ok]), xv[ok], yh[ok])
+
+        # --- collinear overlaps (V x V same column, H x H same row) ------
+        par = vi == vj
+        if par.any():
+            pi, pj = i[par], j[par]
+            isv = vert[pi]
+            same = np.where(isv, x0[pi] == x0[pj], y0[pi] == y0[pj])
+            pi, pj, isv = pi[same], pj[same], isv[same]
+            if len(pi):
+                fi0 = np.where(isv, np.minimum(y0[pi], y1[pi]), np.minimum(x0[pi], x1[pi]))
+                fi1 = np.where(isv, np.maximum(y0[pi], y1[pi]), np.maximum(x0[pi], x1[pi]))
+                fj0 = np.where(isv, np.minimum(y0[pj], y1[pj]), np.minimum(x0[pj], x1[pj]))
+                fj1 = np.where(isv, np.maximum(y0[pj], y1[pj]), np.maximum(x0[pj], x1[pj]))
+                lo = np.maximum(fi0, fj0)
+                hi = np.minimum(fi1, fj1)
+                ov = lo < hi  # positive-length overlap (endpoint touches split nothing)
+                if ov.any():
+                    pi, pj, isv = pi[ov], pj[ov], isv[ov]
+                    lo, hi = lo[ov], hi[ov]
+                    fixed = np.where(isv, x0[pi], y0[pi])  # shared column/row coord
+                    for t in (lo, hi):
+                        px = np.where(isv, fixed, t)
+                        py = np.where(isv, t, fixed)
+                        register((pi, pj), px, py)
+
+        if not seg_out:
+            return None
+        seg = np.concatenate(seg_out)
+        if len(seg) == 0:
+            return None
+        return seg, np.concatenate(px_out), np.concatenate(py_out)
 
     # ------------------------------------------------------------------
     def _find_splits(self, x0, y0, x1, y1):
