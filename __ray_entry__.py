@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_brands": relational.q_distinct_brands,
         "top_orders_by_price": relational.q_top_orders_by_price,
         "busy_customers": relational.q_busy_customers,
+        "top_orders_per_cust": relational.q_top_orders_per_cust,
+        "customers_without_orders": relational.q_customers_without_orders,
         "hash_join_order_revenue": relational.q_hash_join_order_revenue,
         "events_hourly": relational.q_events_hourly,
         "events_user_stats": relational.q_events_user_stats,
@@ -156,6 +158,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_brands": relational.Q_DISTINCT_SQL,
         "top_orders_by_price": relational.Q_TOPK_SQL,
         "busy_customers": relational.Q_HAVING_SQL,
+        "top_orders_per_cust": relational.Q_TOPK_PER_CUST_SQL,
+        "customers_without_orders": relational.Q_ANTI_JOIN_SQL,
         "hash_join_order_revenue": relational.Q_HASH_JOIN_SQL,
         "events_hourly": relational.Q_EVENTS_SQL,
         "events_user_stats": relational.Q_EVENTS_USER_SQL,

@@ -102,9 +102,11 @@ def _candidate_pairs(x0, y0, x1, y1) -> tuple[np.ndarray, np.ndarray]:
 
 
 class SnapNoder:
-    def __init__(self, grid_size: float = 1e-10, max_iter: int = 10):
+    def __init__(self, grid_size: float = 1e-10, max_iter: int = 10,
+                 force_generic: bool = False):
         self.grid_size = grid_size
         self.max_iter = max_iter
+        self.force_generic = force_generic  # testing hook: disable the AA path
 
     def node(
         self, x0: np.ndarray, y0: np.ndarray, x1: np.ndarray, y1: np.ndarray
@@ -134,7 +136,9 @@ class SnapNoder:
         # fixpoint is reached and the verification iteration is provably a
         # no-op.  The generic path keeps the reference's iterate-to-fixpoint
         # loop (float intersection coords need re-checking after snapping).
-        aa = bool(np.all((x0 == x1) | (y0 == y1))) if len(x0) else True
+        aa = (
+            bool(np.all((x0 == x1) | (y0 == y1))) if len(x0) else True
+        ) and not self.force_generic
 
         for _ in range(self.max_iter):
             splits = (

@@ -313,6 +313,44 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
 """
 
 
+def q_top_orders_per_cust(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-group top-k (ROW_NUMBER window function): the top-3 orders of
+    every customer by total price — partition-wise rank computed inside the
+    hash-bucketed groupby (no global sort; each key's rows rank locally)."""
+    from geo_polygonize_ray.functions import bucketed_groupby
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
+        )
+        g = g.assign(rk=g.groupby("o_custkey").cumcount() + 1)
+        return g[g["rk"] <= k]
+
+    out = bucketed_groupby(ds, "o_custkey", topk).to_pandas()
+    out["rk"] = out["rk"].astype(np.int64)
+    out["o_totalprice"] = r4(out["o_totalprice"])
+    return (
+        out[["o_custkey", "rk", "o_orderkey", "o_totalprice"]]
+        .sort_values(["o_custkey", "rk"])
+        .reset_index(drop=True)
+    )
+
+
+Q_TOPK_PER_CUST_SQL = """
+SELECT o_custkey, CAST(rk AS BIGINT) AS rk, o_orderkey,
+       ROUND(o_totalprice, 4) AS o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+ORDER BY o_custkey, rk
+"""
+
+
 def q_busy_customers(sf_dir: str) -> pd.DataFrame:
     from geo_polygonize_ray.functions import bucketed_groupby
 
@@ -575,6 +613,54 @@ Q_PART_TYPE_SQL = """
 SELECT p_type, COUNT(*) AS n_parts, ROUND(SUM(p_retailprice), 4) AS sum_price,
        MAX(p_size) AS max_size
 FROM part GROUP BY p_type ORDER BY p_type
+"""
+
+
+def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """ANTI-join: customers with no '1-URGENT' order, expressed distributed
+    as a tagged union + bucketed groupby (customer rows tag 0, urgent-order
+    custkeys tag 1; keys whose group has no order tag survive) — no
+    driver-side key set, both sides stream."""
+    import ray.data as rd
+
+    from geo_polygonize_ray.functions import bucketed_groupby
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "key": pc.cast(t["c_custkey"], pa.int64()),
+                "has_order": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # map-side distinct of order custkeys shrinks the union before the shuffle
+    def order_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        u = pc.cast(pc.unique(t["o_custkey"]), pa.int64())
+        return pa.table({"key": u, "has_order": pa.array(np.ones(len(u), dtype=np.int64))})
+
+    ords = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]).map_batches(
+        order_keys, batch_format="pyarrow"
+    )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("key", as_index=False).agg(n_orders=("has_order", "max"))
+        out = agg.loc[agg["n_orders"] == 0, ["key"]]
+        return out.rename(columns={"key": "c_custkey"})
+
+    out = bucketed_groupby(cust.union(ords), "key", anti).to_pandas()
+    if "c_custkey" not in out.columns:  # empty-result Dataset has no columns
+        return pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64)})
+    out["c_custkey"] = out["c_custkey"].astype(np.int64)
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+Q_ANTI_JOIN_SQL = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
 """
 
 
