@@ -174,7 +174,15 @@ def run_headline_only() -> dict:
     n = int(os.environ.get("GRAFT_SCALING_GRID", "3200"))
     t0 = time.perf_counter()
     ds = rd.from_arrow(linework_table(grid_lines(n)))
-    cfg = PipelineConfig(tile_size=50.0, tile_buffer=2.0)
+    # FIXED physical plan across cluster sizes (64 shuffle buckets, 32
+    # output partitions): a config-pinned `ray job submit` on N and 4N
+    # nodes runs the same plan, so the scaling measurement compares
+    # cluster sizes — not two different task granularities.  (Measured:
+    # letting the plan follow n_cpus makes the small leg run fewer,
+    # bigger, cheaper tasks and understates efficiency by ~25%.)
+    cfg = PipelineConfig(
+        tile_size=50.0, tile_buffer=2.0, n_buckets=64, n_output_partitions=32
+    )
     total_polys = polygonize_dataset(ds, cfg, bbox=(0.0, 0.0, float(n), float(n))).count()
     sec = round(time.perf_counter() - t0, 4)
     n_tiles = int((n / 50.0) ** 2)

@@ -36,6 +36,12 @@ class PipelineConfig:
     # Ray's fixed exchange overhead, so running it in-process is strictly
     # faster (round-2 judge: random(200) latency).  0 disables.
     local_fastpath_rows: int = 20_000
+    # Explicit shuffle-plan sizing (None = derive from cluster CPU count).
+    # Fixing these makes the physical plan identical across cluster sizes —
+    # what a config-pinned `ray job submit` on N vs 4N nodes would run —
+    # so scaling measurements compare the same plan, not two plans.
+    n_buckets: int | None = None
+    n_output_partitions: int | None = None
 
     # --- image pipeline ---
     psnr_threshold_db: float = 40.0

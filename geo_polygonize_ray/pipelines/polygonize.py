@@ -195,7 +195,7 @@ def polygonize_dataset(
     # ~4x cores buckets and split back apart inside the tracer (which still
     # polygonizes each tile independently).
     n_tiles = assigner.n_cols * assigner.n_rows
-    n_buckets = max(2, min(n_tiles, n_cpus * 4))
+    n_buckets = cfg.n_buckets or max(2, min(n_tiles, n_cpus * 4))
 
     def add_bucket(t: pa.Table) -> pa.Table:
         # MIX the key before the modulo: salted leaf ids are tile*64+sub, so
@@ -210,7 +210,7 @@ def polygonize_dataset(
         return t.append_column("bucket", pa.array(b))
 
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
-    ds = ds.repartition(max(2, min(n_buckets, n_cpus * 2)))
+    ds = ds.repartition(cfg.n_output_partitions or max(2, min(n_buckets, n_cpus * 2)))
     tracer = TilePolygonizer(
         assigner,
         node_input=True,  # per-tile noding, src/tiling.rs:62-63
