@@ -25,7 +25,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "1024"))
-GRID_N = int(os.environ.get("GRAFT_BENCH_GRID", "800"))
+GRID_N = int(os.environ.get("GRAFT_BENCH_GRID", "1600"))
 
 
 def run_bench() -> dict:
