@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text.q_lang_id,
         "simhash": text.q_simhash,
         "fingerprints": text.q_fingerprints,
+        "bpe_tokens": text.q_bpe_tokens,
         "minhash_lsh_pairs": text.minhash_lsh_pairs,
         "minhash_dedup_groups": text.minhash_dedup_groups,
         "ngram_jaccard_pairs": text.ngram_jaccard_pairs,

@@ -17,6 +17,7 @@ CASES = [
     ("lang_id", "lang_id_sf001.parquet"),
     ("simhash", "simhash_sf001.parquet"),
     ("fingerprints", "fingerprints_sf001.parquet"),
+    ("bpe_tokens", "bpe_tokens_sf001.parquet"),
 ]
 
 
