@@ -79,3 +79,31 @@ class TestPlanes:
             rd.from_arrow(two_plane_table(lines, lines)), cfg, bbox=(0, 0, 6, 6)
         ).to_pandas()
         assert len(out) == 2 * len(local) == 72
+
+    def test_adaptive_escalates_one_plane_only(self):
+        """Plane A needs witness-routed escalation (large ring as separate
+        side linestrings); plane B is a plain grid.  Both must come out
+        exact even though escalation re-runs tiles across planes."""
+        from geo_polygonize_ray.stages.stitch import polygonize_dataset_adaptive
+
+        sides = [
+            np.array([(0.0, 0.0), (40.0, 0.0)]),
+            np.array([(40.0, 0.0), (40.0, 40.0)]),
+            np.array([(40.0, 40.0), (0.0, 40.0)]),
+            np.array([(0.0, 40.0), (0.0, 0.0)]),
+        ]
+        gridl = [ls * 5.0 for ls in (np.array(l) for l in map(np.asarray, grid_lines(8)))]
+        local_a = polygonize_lines(sides, node_input=True)
+        local_b = polygonize_lines(gridl, node_input=True)
+        cfg = PipelineConfig(tile_size=8.0, tile_buffer=1.0)
+        out = polygonize_dataset_adaptive(
+            rd.from_arrow(two_plane_table(sides, gridl)), cfg, bbox=(0, 0, 40, 40), max_rounds=6
+        ).to_pandas()
+        a = out[out["plane_key"] == stable_plane_key("plane-a")]
+        b = out[out["plane_key"] == stable_plane_key("plane-b")]
+        assert sorted(round(x, 6) for x in a["area"]) == sorted(
+            round(p.area, 6) for p in local_a
+        )
+        assert sorted(round(x, 6) for x in b["area"]) == sorted(
+            round(p.area, 6) for p in local_b
+        )
