@@ -79,12 +79,20 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
     polys_tiles = 0
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
 
     def timed(name, fn):
+        # best-of-N: the host occasionally has noisy-neighbor windows where
+        # everything runs ~2x slow; min-of-repeats measures the engine
         nonlocal polys_tiles
-        t0 = time.perf_counter()
-        res = fn()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = None
+        res = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            res = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
         return res
 
     # 1. headline: tiled distributed polygonize of grid(GRID_N)
