@@ -276,44 +276,37 @@ class SnapNoder:
     def _apply_splits(self, x0, y0, x1, y1, split_seg, split_x, split_y):
         """Split segments at their points (sorted by distance from start,
         consecutive-dup removed, snap.rs:55-79), then canonicalize + sort +
-        dedup the whole segment set (snap.rs:88-101)."""
+        dedup the whole segment set (snap.rs:88-101).  Fully vectorized:
+        the points of ALL split segments are lexsorted by (segment, dist²)
+        with a stable sort (splits before endpoints on ties, matching the
+        scalar ordering) and sub-segments come from adjacent same-segment
+        pairs — the final set is order-normalized by the dedup anyway."""
         n = len(x0)
         has_split = np.zeros(n, dtype=bool)
         has_split[split_seg] = True
+        segs_with = np.flatnonzero(has_split)
 
-        # group split points by segment
-        order = np.argsort(split_seg, kind="stable")
-        gseg = split_seg[order]
-        gx = split_x[order]
-        gy = split_y[order]
-        starts = np.flatnonzero(np.concatenate([[True], gseg[1:] != gseg[:-1]]))
-        ends = np.concatenate([starts[1:], [len(gseg)]])
+        # all points: splits (original order) then both endpoints per segment
+        ep_seg = np.repeat(segs_with, 2)
+        ep_x = np.column_stack([x0[segs_with], x1[segs_with]]).ravel()
+        ep_y = np.column_stack([y0[segs_with], y1[segs_with]]).ravel()
+        allseg = np.concatenate([split_seg, ep_seg])
+        allx = np.concatenate([split_x, ep_x])
+        ally = np.concatenate([split_y, ep_y])
+        d = (allx - x0[allseg]) ** 2 + (ally - y0[allseg]) ** 2
+        order = np.lexsort((d, allseg))  # stable: ties keep splits-first order
+        sseg = allseg[order]
+        sx = allx[order]
+        sy = ally[order]
+        first = np.concatenate([[True], sseg[1:] != sseg[:-1]])
+        keep = first | np.concatenate([[True], (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1])])
+        sseg, sx, sy = sseg[keep], sx[keep], sy[keep]
+        pair = sseg[1:] == sseg[:-1]  # adjacent points of the same segment
 
-        out_x0 = [x0[~has_split]]
-        out_y0 = [y0[~has_split]]
-        out_x1 = [x1[~has_split]]
-        out_y1 = [y1[~has_split]]
-
-        for s, e in zip(starts, ends):
-            seg = gseg[s]
-            # points = splits + both endpoints, sorted by dist from start
-            px = np.concatenate([gx[s:e], [x0[seg], x1[seg]]])
-            py = np.concatenate([gy[s:e], [y0[seg], y1[seg]]])
-            d = (px - x0[seg]) ** 2 + (py - y0[seg]) ** 2
-            o = np.argsort(d, kind="stable")
-            px, py = px[o], py[o]
-            keep = np.concatenate([[True], (px[1:] != px[:-1]) | (py[1:] != py[:-1])])
-            px, py = px[keep], py[keep]
-            if len(px) >= 2:
-                out_x0.append(px[:-1])
-                out_y0.append(py[:-1])
-                out_x1.append(px[1:])
-                out_y1.append(py[1:])
-
-        nx0 = np.concatenate(out_x0)
-        ny0 = np.concatenate(out_y0)
-        nx1 = np.concatenate(out_x1)
-        ny1 = np.concatenate(out_y1)
+        nx0 = np.concatenate([x0[~has_split], sx[:-1][pair]])
+        ny0 = np.concatenate([y0[~has_split], sy[:-1][pair]])
+        nx1 = np.concatenate([x1[~has_split], sx[1:][pair]])
+        ny1 = np.concatenate([y1[~has_split], sy[1:][pair]])
 
         return _canonicalize_dedup(nx0, ny0, nx1, ny1)
 

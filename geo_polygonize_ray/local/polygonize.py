@@ -193,20 +193,44 @@ def _assemble_core(flat_x: np.ndarray, flat_y: np.ndarray, offsets: np.ndarray):
     minx, miny, maxx, maxy = bbox_many(flat_x, flat_y, offsets)
 
     # --- promotion anti-join (src/polygonizer.rs:151-185) ------------------
-    # keyed scan instead of the reference's O(H*S) loop: bucket shells by
-    # bit-exact bbox; within a bucket compare |area| within 1e-6.
-    bbox_key: dict[tuple, list[float]] = {}
-    for s in shell_ids:
-        bbox_key.setdefault((minx[s], miny[s], maxx[s], maxy[s]), []).append(abs(areas[s]))
-    promoted = [
-        int(h)
-        for h in hole_ids
-        if not any(
-            abs(sa - abs(areas[h])) < 1e-6
-            for sa in bbox_key.get((minx[h], miny[h], maxx[h], maxy[h]), ())
+    # keyed scan instead of the reference's O(H*S) loop: group rings by
+    # bit-exact bbox (lexsort + adjacent-compare, no Python dict); only
+    # holes whose bbox also appears among shells need the 1e-6 area check,
+    # and that check runs vectorized per bbox group.
+    if len(shell_ids) and len(hole_ids):
+        sb = np.stack([minx[shell_ids], miny[shell_ids], maxx[shell_ids], maxy[shell_ids]], axis=1)
+        hb = np.stack([minx[hole_ids], miny[hole_ids], maxx[hole_ids], maxy[hole_ids]], axis=1)
+        both = np.concatenate([sb, hb])
+        order = np.lexsort((both[:, 3], both[:, 2], both[:, 1], both[:, 0]))
+        sb_sorted = both[order]
+        new_grp = np.concatenate(
+            [[True], np.any(sb_sorted[1:] != sb_sorted[:-1], axis=1)]
         )
-    ]
-    shells = np.concatenate([shell_ids, np.array(promoted, dtype=np.int64)]).astype(np.int64)
+        gid = np.empty(len(both), dtype=np.int64)
+        gid[order] = np.cumsum(new_grp) - 1
+        g_shell = gid[: len(sb)]
+        g_hole = gid[len(sb):]
+        cand = np.isin(g_hole, g_shell)  # holes sharing a shell's exact bbox
+        has_twin = np.zeros(len(hole_ids), dtype=bool)
+        if cand.any():
+            # per candidate (hole, shell) pair in the same bbox group:
+            # twin iff | |area_s| - |area_h| | < 1e-6
+            so = np.argsort(g_shell, kind="stable")
+            gs, sa = g_shell[so], np.abs(areas[shell_ids])[so]
+            ch = np.flatnonzero(cand)
+            lo = np.searchsorted(gs, g_hole[ch], side="left")
+            hi = np.searchsorted(gs, g_hole[ch], side="right")
+            cnt = hi - lo
+            rep = np.repeat(np.arange(len(ch)), cnt)
+            pos = np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            match = np.abs(sa[np.repeat(lo, cnt) + pos] - np.abs(areas[hole_ids[ch]])[rep]) < 1e-6
+            hit = np.zeros(len(ch), dtype=bool)
+            np.logical_or.at(hit, rep, match)
+            has_twin[ch] = hit
+        promoted = hole_ids[~has_twin]
+    else:
+        promoted = hole_ids.copy()
+    shells = np.concatenate([shell_ids, promoted.astype(np.int64)]).astype(np.int64)
     n_orig = len(shell_ids)
 
     shell_areas = np.abs(areas[shells])
