@@ -88,6 +88,7 @@ def write_polygons_checkpointed(
     stage: str = "polygons",
     resume: bool = True,
     distributed: bool = True,
+    partition_buckets: int | None = None,
 ) -> dict:
     """Consume a polygons Dataset into per-partition parquet with manifest.
 
@@ -102,10 +103,37 @@ def write_polygons_checkpointed(
     ``distributed=False`` falls back to driver-side streaming (one
     concatenated file per partition).
 
+    ``partition_buckets``: cap the number of output partitions by hashing
+    the partition key into this many buckets (``part=b<k>`` directories).
+    A 10^4-tile job writing one file per TILE is a tiny-file storm
+    (measured: 16384 partitions cost ~7 ms each — 2/3 of the whole job);
+    resume granularity coarsens to the bucket, which is the right trade
+    at scale.
+
     A rerun with ``resume=True`` skips partitions already in the manifest
     (byte-identical output for deterministic pipelines, FIXTURES.md §6.4).
     Returns {written: [...], skipped: [...], rows: N}.
     """
+    if partition_buckets:
+        import numpy as _np
+        import pyarrow as _pa
+
+        nb = int(partition_buckets)
+
+        def add_bucket_col(t: "_pa.Table", _col=partition_col, _nb=nb) -> "_pa.Table":
+            key = _np.asarray(t[_col].to_pylist())
+            if key.dtype.kind in "iu":
+                mixed = key.astype(_np.uint64) * _np.uint64(0x9E3779B97F4A7C15)
+                b = ((mixed >> _np.uint64(33)) % _np.uint64(_nb)).astype(_np.int64)
+            else:
+                import pandas as _pd
+
+                b = (_pd.util.hash_array(key) % _nb).astype(_np.int64)
+            labels = _np.array([f"b{int(x)}" for x in b])
+            return t.append_column("_part_bucket", _pa.array(labels))
+
+        ds = ds.map_batches(add_bucket_col, batch_format="pyarrow")
+        partition_col = "_part_bucket"
     if distributed:
         return _write_distributed(ds, out_dir, partition_col, stage, resume)
     return _write_driver_side(ds, out_dir, partition_col, stage, resume)

@@ -100,6 +100,28 @@ class TestCheckpointResume:
         r3 = write_polygons_checkpointed(ds3, out_dir)
         assert r3["written"] == [dropped]
 
+    def test_partition_buckets(self, tmp_path):
+        """partition_buckets caps the directory count (tiny-file storm at
+        10^4 tiles) while keeping every row exactly once and resume
+        working at bucket granularity."""
+        import glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        out_dir = str(tmp_path / "bucketed")
+        t = pa.table({"tile_id": list(range(100)), "v": [float(i) for i in range(100)]})
+        r = write_polygons_checkpointed(rd.from_arrow(t), out_dir, partition_buckets=8)
+        assert r["rows"] == 100
+        assert len(r["written"]) <= 8
+        files = glob.glob(os.path.join(out_dir, "part=*", "data*.parquet"))
+        got = pa.concat_tables([pq.read_table(f) for f in files])
+        assert sorted(got["v"].to_pylist()) == [float(i) for i in range(100)]
+        # resume skips all buckets
+        r2 = write_polygons_checkpointed(rd.from_arrow(t), out_dir, partition_buckets=8)
+        assert not r2["written"] and set(r2["skipped"]) == set(r["written"])
+
     def test_partition_split_across_blocks(self, tmp_path):
         """Round-2 ADVICE regression: a partition whose rows arrive in
         SEVERAL map_batches tasks (dynamic block splitting) must come out as
