@@ -100,6 +100,29 @@ class TestCheckpointResume:
         r3 = write_polygons_checkpointed(ds3, out_dir)
         assert r3["written"] == [dropped]
 
+    def test_crashed_run_orphans_swept(self, tmp_path):
+        """Files from a run that crashed before recording its manifest are
+        swept when the partition is rewritten — no double-counted rows."""
+        import glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        out_dir = str(tmp_path / "orphans")
+        t = pa.table({"tile_id": [5, 5, 7], "v": [1.0, 2.0, 3.0]})
+        # simulate a crashed earlier run: orphan data file, no manifest row
+        os.makedirs(os.path.join(out_dir, "part=5"), exist_ok=True)
+        pq.write_table(
+            pa.table({"tile_id": [5], "v": [999.0]}),
+            os.path.join(out_dir, "part=5", "data-deadbeef-cafe0000.parquet"),
+        )
+        r = write_polygons_checkpointed(rd.from_arrow(t), out_dir)
+        assert r["rows"] == 3
+        files5 = glob.glob(os.path.join(out_dir, "part=5", "data*.parquet"))
+        got = pa.concat_tables([pq.read_table(f) for f in files5])
+        assert sorted(got["v"].to_pylist()) == [1.0, 2.0]  # orphan gone
+
     def test_partition_buckets(self, tmp_path):
         """partition_buckets caps the directory count (tiny-file storm at
         10^4 tiles) while keeping every row exactly once and resume
