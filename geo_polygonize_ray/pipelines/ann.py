@@ -156,14 +156,29 @@ def build_ivf_index(
         b = np.argmax(_normalize(m) @ c.T, axis=1)
         return batch.append_column("bucket", pa.array(b.astype(np.int64)))
 
-    os.makedirs(index_dir, exist_ok=True)
+    # build into a temp dir and publish with an atomic rename: a crashed
+    # build otherwise leaves stale bucket files that a rebuild's uniquely-
+    # named write_parquet appends alongside, so probes would read duplicate
+    # rows (round-2 ADVICE, ann.py:159)
+    import shutil
+    import uuid
+
+    if os.path.isdir(index_dir):  # dirty leftover: _SUCCESS is absent here
+        shutil.rmtree(index_dir)
+    tmp_dir = f"{index_dir}.build-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp_dir, exist_ok=True)
     ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=4096).write_parquet(
-        index_dir, partition_cols=["bucket"]
+        tmp_dir, partition_cols=["bucket"]
     )
-    np.save(cent_path, cent)
-    with open(done_path, "w") as f:
+    np.save(os.path.join(tmp_dir, "centroids.npy"), cent)
+    with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as f:
         f.write("ok")
-    return index_dir, cent
+    try:
+        os.rename(tmp_dir, index_dir)
+    except OSError:
+        # another process published the same content-addressed index first
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return index_dir, np.load(cent_path)
 
 
 def q_ann_ivf(

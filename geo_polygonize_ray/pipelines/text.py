@@ -546,6 +546,7 @@ def minhash_dedup_groups(
     labels = rd.from_pandas(pd.DataFrame({"node": nodes, "label": nodes})).materialize()
     prev_sum = int(nodes.sum())
 
+    converged = False
     for _ in range(max_rounds):
         # neighbour labels: edges (src, dst) x labels(node=src) -> (dst, label)
         m = edges.join(labels, join_type="inner", num_partitions=4, on=("src",), right_on=("node",))
@@ -554,7 +555,27 @@ def minhash_dedup_groups(
             return pd.DataFrame({"node": b["dst"].to_numpy(np.int64), "label": b["label"].to_numpy(np.int64)})
 
         msgs = m.map_batches(msg, batch_format="pandas")
-        combined = labels.union(msgs)
+
+        # pointer doubling: also propagate label-of-label (labels joined with
+        # itself on label == node), which makes convergence logarithmic in
+        # the component diameter instead of linear — a chain-shaped dup
+        # component longer than max_rounds would otherwise exit unconverged
+        # (round-2 ADVICE, text.py:549)
+        def as_right(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"node_r": b["node"].to_numpy(np.int64), "label_r": b["label"].to_numpy(np.int64)}
+            )
+
+        right = labels.map_batches(as_right, batch_format="pandas")
+        m2 = labels.join(right, join_type="inner", num_partitions=4, on=("label",), right_on=("node_r",))
+
+        def msg2(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"node": b["node"].to_numpy(np.int64), "label": b["label_r"].to_numpy(np.int64)}
+            )
+
+        msgs2 = m2.map_batches(msg2, batch_format="pandas")
+        combined = labels.union(msgs).union(msgs2)
 
         def min_label(g: pd.DataFrame) -> pd.DataFrame:
             return g.groupby("node", as_index=False).agg(label=("label", "min"))
@@ -562,8 +583,18 @@ def minhash_dedup_groups(
         labels = bucketed_groupby(combined, "node", min_label, n_buckets=8).materialize()
         s = int(labels.sum("label"))
         if s == prev_sum:  # labels monotone non-increasing => converged
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            "minhash_dedup_groups: min-label propagation exited after "
+            f"{max_rounds} rounds without converging; group labels may be "
+            "split (raise max_rounds)",
+            RuntimeWarning,
+        )
 
     lab_df = labels.to_pandas()  # candidate components only — small side
     return assign(ray.put(dict(zip(lab_df["node"].astype(int), lab_df["label"].astype(int)))))

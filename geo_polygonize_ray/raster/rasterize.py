@@ -72,6 +72,17 @@ def rasterize_faces(
     axis_aligned = bool(
         np.all((flat_x == np.floor(flat_x)) & (flat_y == np.floor(flat_y)))
     )
+    if axis_aligned and len(flat_x) > 1:
+        # integer coordinates alone don't make the scanline fill valid: a
+        # diagonal integer edge would be silently misfilled (only vertical
+        # edges flip parity).  Check every WITHIN-ring edge is axis-aligned;
+        # positions straddling two consecutive rings are not edges.
+        dx = np.diff(flat_x)
+        dy = np.diff(flat_y)
+        valid = np.ones(len(dx), dtype=bool)
+        seam = np.asarray(offsets[1:-1], dtype=np.int64) - 1
+        valid[seam[(seam >= 0) & (seam < len(dx))]] = False
+        axis_aligned = bool(np.all((dx[valid] == 0) | (dy[valid] == 0)))
     for r in order:
         s, e = offsets[r], offsets[r + 1]
         rx, ry = flat_x[s:e], flat_y[s:e]

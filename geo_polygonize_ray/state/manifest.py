@@ -43,7 +43,15 @@ class Manifest:
                         done[row["partition"]] = row
         return done
 
-    def record(self, partition: str, input_fingerprint: str, rows: int, seconds: float, nbytes: int) -> None:
+    def record(
+        self,
+        partition: str,
+        input_fingerprint: str,
+        rows: int,
+        seconds: float,
+        nbytes: int,
+        files: list[str] | None = None,
+    ) -> None:
         row = {
             "stage": self.stage,
             "partition": partition,
@@ -53,6 +61,11 @@ class Manifest:
             "bytes": int(nbytes),
             "rows_per_sec": round(rows / seconds, 1) if seconds > 0 else None,
             "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            # the exact file set making up the partition: a resume that SKIPS
+            # this partition sweeps any other data file (orphans of a later
+            # crashed run would otherwise double-count — a partition is the
+            # union of its data*.parquet files)
+            "files": sorted(files) if files is not None else None,
         }
         # single-writer append; on a cluster this is a driver-side log
         with open(self.path, "a") as f:
@@ -176,7 +189,20 @@ def _write_distributed(ds, out_dir, partition_col, stage, resume) -> dict:
     import ray
 
     man = Manifest(out_dir, stage)
-    done = set(man.completed()) if resume else set()
+    done_rows = man.completed() if resume else {}
+    done = set(done_rows)
+    # sweep orphans of crashed runs from partitions we are about to SKIP: a
+    # run that crashed after writing some data files into an already-complete
+    # partition left files outside the manifest-recorded set; a plain skip
+    # would let readers double-count them (round-2 ADVICE, manifest.py:247)
+    for key, row in done_rows.items():
+        recorded = row.get("files")
+        if recorded is None:
+            continue  # legacy row without a file set: cannot sweep safely
+        keep = set(recorded)
+        for f in man.partition_files(key):
+            if os.path.basename(f) not in keep:
+                os.remove(f)
     done_ref = ray.put(done)
     run_id = _uuid.uuid4().hex[:8]
 
@@ -212,6 +238,11 @@ def _write_distributed(ds, out_dir, partition_col, stage, resume) -> dict:
                 rows["file"].append("")
                 continue
             part = batch.take(pa.array(order[s:e]))
+            if "_part_bucket" in part.column_names:
+                # the bucketing helper column is writer plumbing, not data:
+                # persisting it would make the checkpoint schema depend on
+                # the partition_buckets knob (round-2 ADVICE, manifest.py:123)
+                part = part.drop_columns(["_part_bucket"])
             m = _write_partition_atomic(out_dir, stage, key, part, run_id)
             rows["partition"].append(m["partition"])
             rows["input_fingerprint"].append(m["input_fingerprint"])
@@ -251,7 +282,14 @@ def _write_distributed(ds, out_dir, partition_col, stage, resume) -> dict:
                 "".join(sorted(g["input_fingerprint"])).encode()
             ).hexdigest()[:16] if len(g) > 1 else g["input_fingerprint"].iloc[0]
             n_rows = int(g["rows"].sum())
-            man.record(str(key), fp, n_rows, max(float(g["seconds"].max()), 1e-9), int(g["bytes"].sum()))
+            man.record(
+                str(key),
+                fp,
+                n_rows,
+                max(float(g["seconds"].max()), 1e-9),
+                int(g["bytes"].sum()),
+                files=list(g["file"]),
+            )
             written.append(str(key))
             rows_total += n_rows
     return {"written": sorted(written), "skipped": sorted(skipped), "rows": rows_total}
@@ -269,6 +307,14 @@ def _write_driver_side(
 
     man = Manifest(out_dir, stage)
     done = man.completed() if resume else {}
+    for key, row in done.items():  # sweep crashed-run orphans on skip
+        recorded = row.get("files")
+        if recorded is None:
+            continue
+        keep = set(recorded)
+        for f in man.partition_files(key):
+            if os.path.basename(f) not in keep:
+                os.remove(f)
     written: dict[str, list] = {}
     skipped: set[str] = set()
     rows_total = 0
@@ -291,6 +337,8 @@ def _write_driver_side(
         for s, e in zip(starts, ends):
             key = str(sorted_keys[s])
             part = batch.take(pa.array(order[s:e]))
+            if "_part_bucket" in part.column_names:
+                part = part.drop_columns(["_part_bucket"])
             if key in done:
                 skipped.add(key)
                 continue
@@ -310,7 +358,14 @@ def _write_driver_side(
                 os.remove(f)
         os.replace(tmp, final)  # atomic publish
         nbytes = os.path.getsize(final)
-        man.record(key, fingerprint_table(table), table.num_rows, time.perf_counter() - t0, nbytes)
+        man.record(
+            key,
+            fingerprint_table(table),
+            table.num_rows,
+            time.perf_counter() - t0,
+            nbytes,
+            files=[os.path.basename(final)],
+        )
         rows_total += table.num_rows
         out_written.append(key)
 

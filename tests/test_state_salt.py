@@ -123,6 +123,32 @@ class TestCheckpointResume:
         got = pa.concat_tables([pq.read_table(f) for f in files5])
         assert sorted(got["v"].to_pylist()) == [1.0, 2.0]  # orphan gone
 
+    def test_resume_skip_sweeps_orphans(self, tmp_path):
+        """Round-2 ADVICE (medium): a crashed run's orphan files inside an
+        already-COMPLETE partition must be swept by a resume that skips the
+        partition — manifest rows record their file set for this."""
+        import glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        out_dir = str(tmp_path / "skip_sweep")
+        t = pa.table({"tile_id": [5, 5, 7], "v": [1.0, 2.0, 3.0]})
+        r = write_polygons_checkpointed(rd.from_arrow(t), out_dir)
+        assert r["rows"] == 3
+        # simulate a LATER run that crashed after writing into part=5 but
+        # before recording any manifest rows
+        pq.write_table(
+            pa.table({"tile_id": [5], "v": [999.0]}),
+            os.path.join(out_dir, "part=5", "data-deadbeef-cafe0000.parquet"),
+        )
+        r2 = write_polygons_checkpointed(rd.from_arrow(t), out_dir, resume=True)
+        assert not r2["written"]  # both partitions skipped (manifest intact)
+        files5 = glob.glob(os.path.join(out_dir, "part=5", "data*.parquet"))
+        got = pa.concat_tables([pq.read_table(f) for f in files5])
+        assert sorted(got["v"].to_pylist()) == [1.0, 2.0]  # orphan swept
+
     def test_partition_buckets(self, tmp_path):
         """partition_buckets caps the directory count (tiny-file storm at
         10^4 tiles) while keeping every row exactly once and resume
@@ -141,6 +167,9 @@ class TestCheckpointResume:
         files = glob.glob(os.path.join(out_dir, "part=*", "data*.parquet"))
         got = pa.concat_tables([pq.read_table(f) for f in files])
         assert sorted(got["v"].to_pylist()) == [float(i) for i in range(100)]
+        # writer plumbing must not leak into the checkpoint schema: bucketed
+        # and unbucketed checkpoints share the data schema (round-2 ADVICE)
+        assert "_part_bucket" not in got.schema.names
         # resume skips all buckets
         r2 = write_polygons_checkpointed(rd.from_arrow(t), out_dir, partition_buckets=8)
         assert not r2["written"] and set(r2["skipped"]) == set(r["written"])
