@@ -12,6 +12,7 @@ from geo_polygonize_ray.pipelines.images import image_roundtrip_pipeline
 from geo_polygonize_ray.pipelines.polygonize import polygonize_dataset
 from geo_polygonize_ray.sources.fixtures import (
     cached_image_table,
+    clustered_lines,
     grid_lines,
     linework_table,
     random_lines,
@@ -44,6 +45,19 @@ def q_polygonize_random(sf_dir: str, k: int = 100) -> pd.DataFrame:
 
     ds = rd.from_arrow(linework_table(random_lines(k, seed=42)))
     out = polygonize_dataset(ds, PipelineConfig(node_input=True))
+    return _poly_summary(out)
+
+
+def q_polygonize_skewed(sf_dir: str, k: int = 4000) -> pd.DataFrame:
+    """Clustered soup (skew workload) through the tiled pipeline with AUTO
+    salting (the default).  frac_hot=1.0 keeps every polygon cluster-local
+    so the fixed tile buffer honors the ownership contract; distributed ==
+    local equality is pinned in tests/test_state_salt.py."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(linework_table(clustered_lines(k, seed=7, frac_hot=1.0)))
+    cfg = PipelineConfig(tile_size=10.0, tile_buffer=2.0)
+    out = polygonize_dataset(ds, cfg, bbox=(0.0, 0.0, 100.0, 100.0))
     return _poly_summary(out)
 
 

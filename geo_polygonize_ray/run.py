@@ -25,7 +25,12 @@ def main(argv=None) -> int:
     ap.add_argument("--snap-grid-size", type=float, default=1e-10)
     ap.add_argument("--tile-size", type=float, default=0.0, help="distributed tiling; 0 = untiled")
     ap.add_argument("--buffer", type=float, default=0.0)
-    ap.add_argument("--salt-threshold", type=int, default=0)
+    ap.add_argument(
+        "--salt-threshold",
+        type=int,
+        default=None,
+        help="skew-salting count threshold; default auto (4x mean tile count), 0 disables",
+    )
     ap.add_argument("--adaptive", action="store_true", help="adaptive buffer escalation for unbounded polygons")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)

@@ -157,6 +157,34 @@ def random_lines(k: int, seed: int = 42) -> list[np.ndarray]:
     return [pts[i] for i in range(k)]
 
 
+def clustered_lines(
+    k: int,
+    seed: int = 42,
+    n_clusters: int = 3,
+    frac_hot: float = 0.9,
+    sigma: float = 6.0,
+    len_lo: float = 0.3,
+    len_hi: float = 1.0,
+) -> list[np.ndarray]:
+    """Clustered random segment soup over [0, 100]^2 — the SKEW workload
+    (analogue of the reference's dense-grid blowup,
+    rust_bench_output.txt:12-17): ``frac_hot`` of the k segments are SHORT
+    segments packed around ``n_clusters`` Gaussian centers (each dense
+    region spans a few tiles), the rest uniform background.  Deterministic
+    in ``seed``."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(25.0, 75.0, (n_clusters, 2))
+    n_hot = int(k * frac_hot)
+    which = rng.integers(0, n_clusters, n_hot)
+    p0 = centers[which] + rng.normal(0.0, sigma, (n_hot, 2))
+    ang = rng.uniform(0.0, 2.0 * np.pi, n_hot)
+    ln = rng.uniform(len_lo, len_hi, n_hot)
+    p1 = p0 + np.stack([np.cos(ang), np.sin(ang)], axis=1) * ln[:, None]
+    hot = np.stack([np.clip(p0, 0.0, 100.0), np.clip(p1, 0.0, 100.0)], axis=1)
+    cold = rng.uniform(0.0, 100.0, (k - n_hot, 2, 2))
+    return [hot[i] for i in range(n_hot)] + [cold[i] for i in range(k - n_hot)]
+
+
 def segments_table(lines: list[np.ndarray]) -> pa.Table:
     """Explode linestrings to an Arrow segments table (the hot shuffle payload
     layout from SURVEY.md §1.3)."""
