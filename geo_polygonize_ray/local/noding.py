@@ -64,7 +64,9 @@ def _candidate_pairs(x0, y0, x1, y1) -> tuple[np.ndarray, np.ndarray]:
     dyb = local // w
     bucket = (np.repeat(by0, counts) + dyb) * ncols + (np.repeat(bx0, counts) + dxb)
 
-    order = np.lexsort((seg_ids, bucket))
+    # single-key sort: ordering WITHIN a bucket is irrelevant (pairs are
+    # deduped by integer key below), so the two-key lexsort is overkill
+    order = np.argsort(bucket)
     bucket = bucket[order]
     seg_ids = seg_ids[order]
 
@@ -140,16 +142,25 @@ class SnapNoder:
             bool(np.all((x0 == x1) | (y0 == y1))) if len(x0) else True
         ) and not self.force_generic
 
+        # Incremental re-noding: a pair of segments BOTH unchanged since the
+        # previous round was already checked there with the same coords and
+        # produced no splits (the decision is a pure function of the two
+        # segments + grid size), so rounds 2+ only need candidate pairs with
+        # at least one NEW sub-segment.  Round-2 cost becomes proportional
+        # to the split set, not the whole soup.
+        newmask: np.ndarray | None = None  # None = all segments are new
         for _ in range(self.max_iter):
             splits = (
                 self._find_splits_aa(x0, y0, x1, y1)
                 if aa
-                else self._find_splits(x0, y0, x1, y1)
+                else self._find_splits(x0, y0, x1, y1, newmask)
             )
             if splits is None:
                 break
             split_seg, split_x, split_y = splits
-            x0, y0, x1, y1 = self._apply_splits(x0, y0, x1, y1, split_seg, split_x, split_y)
+            x0, y0, x1, y1, newmask = self._apply_splits(
+                x0, y0, x1, y1, split_seg, split_x, split_y
+            )
             if aa:
                 break
         return x0, y0, x1, y1
@@ -229,16 +240,53 @@ class SnapNoder:
         return seg, np.concatenate(px_out), np.concatenate(py_out)
 
     # ------------------------------------------------------------------
-    def _find_splits(self, x0, y0, x1, y1):
+    def _find_splits(self, x0, y0, x1, y1, newmask=None):
         """Returns (segment_idx, x, y) arrays of split points, or None.
 
         A split is registered on a segment when the snapped intersection
         point differs from both of that segment's endpoints
-        (snap.rs:146-151, 159-166).
+        (snap.rs:146-151, 159-166).  ``newmask`` (rounds 2+) restricts the
+        pair set to those touching a segment changed last round.
         """
         i, j = _candidate_pairs(x0, y0, x1, y1)
+        if newmask is not None and len(i):
+            fresh = newmask[i] | newmask[j]
+            i, j = i[fresh], j[fresh]
         if len(i) == 0:
             return None
+        if len(i):
+            # Cheap certainty filter: a pair sharing an exact endpoint whose
+            # directions are CERTAINLY non-parallel (float cross product
+            # exceeds its rounding-error bound) intersects exactly at that
+            # shared endpoint — register() would reject it on both sides, so
+            # classification is wasted work.  After a split round most
+            # candidate pairs are pieces meeting at a split point (~85% on
+            # the random-soup bench), making this the round-2 hot filter.
+            # Pairs with an uncertain (possibly collinear) cross keep going:
+            # collinear overlap past the shared endpoint must still split.
+            share = (
+                ((x0[i] == x0[j]) & (y0[i] == y0[j]))
+                | ((x0[i] == x1[j]) & (y0[i] == y1[j]))
+                | ((x1[i] == x0[j]) & (y1[i] == y0[j]))
+                | ((x1[i] == x1[j]) & (y1[i] == y1[j]))
+            )
+            if share.any():
+                dxi = x1[i] - x0[i]
+                dyi = y1[i] - y0[i]
+                dxj = x1[j] - x0[j]
+                dyj = y1[j] - y0[j]
+                l = dxi * dyj
+                r = dyi * dxj
+                cross = l - r
+                # same error-bound constant as the robust orient2d tier A
+                from geo_polygonize_ray.geom.robust import CCW_ERRBOUND_A
+
+                certain = np.abs(cross) > CCW_ERRBOUND_A * (np.abs(l) + np.abs(r))
+                drop = share & certain
+                if drop.any():
+                    i, j = i[~drop], j[~drop]
+                    if len(i) == 0:
+                        return None
         kind, axp, ayp, bxp, byp = segment_intersections(
             x0[i], y0[i], x1[i], y1[i], x0[j], y0[j], x1[j], y1[j]
         )
@@ -303,19 +351,26 @@ class SnapNoder:
         sseg, sx, sy = sseg[keep], sx[keep], sy[keep]
         pair = sseg[1:] == sseg[:-1]  # adjacent points of the same segment
 
+        n_old = int((~has_split).sum())
         nx0 = np.concatenate([x0[~has_split], sx[:-1][pair]])
         ny0 = np.concatenate([y0[~has_split], sy[:-1][pair]])
         nx1 = np.concatenate([x1[~has_split], sx[1:][pair]])
         ny1 = np.concatenate([y1[~has_split], sy[1:][pair]])
+        new = np.zeros(len(nx0), dtype=bool)
+        new[n_old:] = True  # the freshly created sub-segments
 
-        return _canonicalize_dedup(nx0, ny0, nx1, ny1)
+        return _canonicalize_dedup(nx0, ny0, nx1, ny1, new)
 
 
-def _canonicalize_dedup(nx0, ny0, nx1, ny1):
+def _canonicalize_dedup(nx0, ny0, nx1, ny1, flag=None):
     """Canonical direction (start < end lexicographically with the
     reference's 1e-12 x-tolerance, snap.rs:88-95), then sort + dedup
     identical segments (snap.rs:96-101).  lexsort + adjacent-compare is
-    ~10x faster than np.unique(axis=0)'s void-view sort."""
+    ~10x faster than np.unique(axis=0)'s void-view sort.
+
+    ``flag`` (optional per-segment bool) is carried through: a surviving
+    segment's flag is the OR over its duplicate run (used by the
+    incremental noder's new-segment tracking)."""
     swap = (nx0 > nx1) | ((np.abs(nx0 - nx1) < 1e-12) & (ny0 > ny1))
     tx0 = np.where(swap, nx1, nx0)
     ty0 = np.where(swap, ny1, ny0)
@@ -323,7 +378,7 @@ def _canonicalize_dedup(nx0, ny0, nx1, ny1):
     ty1 = np.where(swap, ny0, ny1)
     n = len(tx0)
     if n == 0:
-        return tx0, ty0, tx1, ty1
+        return (tx0, ty0, tx1, ty1) if flag is None else (tx0, ty0, tx1, ty1, flag)
     order = np.lexsort((ty1, tx1, ty0, tx0))
     tx0, ty0, tx1, ty1 = tx0[order], ty0[order], tx1[order], ty1[order]
     keep = np.empty(n, dtype=bool)
@@ -334,4 +389,10 @@ def _canonicalize_dedup(nx0, ny0, nx1, ny1):
         | (tx1[1:] != tx1[:-1])
         | (ty1[1:] != ty1[:-1])
     )
-    return tx0[keep], ty0[keep], tx1[keep], ty1[keep]
+    if flag is None:
+        return tx0[keep], ty0[keep], tx1[keep], ty1[keep]
+    f = flag[order]
+    run_id = np.cumsum(keep) - 1
+    out_flag = np.zeros(int(run_id[-1]) + 1, dtype=bool)
+    np.logical_or.at(out_flag, run_id, f)
+    return tx0[keep], ty0[keep], tx1[keep], ty1[keep], out_flag

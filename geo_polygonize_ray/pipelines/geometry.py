@@ -9,7 +9,10 @@ import pandas as pd
 
 from geo_polygonize_ray.config import PipelineConfig
 from geo_polygonize_ray.pipelines.images import image_roundtrip_pipeline
-from geo_polygonize_ray.pipelines.polygonize import polygonize_dataset
+from geo_polygonize_ray.pipelines.polygonize import (
+    polygonize_dataset,
+    polygonize_table_local,
+)
 from geo_polygonize_ray.sources.fixtures import (
     cached_image_table,
     clustered_lines,
@@ -19,33 +22,55 @@ from geo_polygonize_ray.sources.fixtures import (
 )
 
 
+def _polygonize_summary(table, cfg: PipelineConfig, bbox=None) -> pd.DataFrame:
+    """Dispatch: sub-threshold untiled jobs run fully in-process (no Ray —
+    the latency path); everything else goes through the Dataset pipeline."""
+    if (
+        not cfg.tiled()
+        and cfg.local_fastpath_rows
+        and table.num_rows <= cfg.local_fastpath_rows
+    ):
+        return _poly_summary(polygonize_table_local(table, cfg))
+    import ray.data as rd
+
+    return _poly_summary(polygonize_dataset(rd.from_arrow(table), cfg, bbox))
+
+
+_SUMMARY_COLS = ["tile_id", "poly_id", "area", "cx", "cy", "n_holes"]
+
+
 def _poly_summary(out) -> pd.DataFrame:
-    df = out.to_pandas()
+    import pyarrow as pa
+
+    if isinstance(out, pa.Table):
+        # prune the list columns (shell/hole coordinate payloads) BEFORE the
+        # pandas conversion — they dominate to_pandas cost on the fast path
+        out = out.select([c for c in _SUMMARY_COLS if c in out.schema.names])
+    df = out.to_pandas()  # works for both ray.data.Dataset and pa.Table
     if len(df) == 0:
-        return pd.DataFrame({"tile_id": [], "poly_id": [], "area": [], "cx": [], "cy": [], "n_holes": []})
-    df = df[["tile_id", "poly_id", "area", "cx", "cy", "n_holes"]].copy()
+        return pd.DataFrame({c: [] for c in _SUMMARY_COLS})
+    df = df[_SUMMARY_COLS].copy()
     df["area"] = np.round(df["area"], 6)
     df["cx"] = np.round(df["cx"], 6)
     df["cy"] = np.round(df["cy"], 6)
-    return df.sort_values(["tile_id", "area", "cx", "cy"]).reset_index(drop=True)
+    order = np.lexsort(
+        (df["cy"].to_numpy(), df["cx"].to_numpy(), df["area"].to_numpy(), df["tile_id"].to_numpy())
+    )
+    return df.iloc[order].reset_index(drop=True)
 
 
 def q_polygonize_grid(sf_dir: str, n: int = 30) -> pd.DataFrame:
     """grid(N) workload (reference bench): exactly N^2 unit cells."""
-    import ray.data as rd
-
-    ds = rd.from_arrow(linework_table(grid_lines(n)))
-    out = polygonize_dataset(ds, PipelineConfig(node_input=True))
-    return _poly_summary(out)
+    return _polygonize_summary(
+        linework_table(grid_lines(n)), PipelineConfig(node_input=True)
+    )
 
 
 def q_polygonize_random(sf_dir: str, k: int = 100) -> pd.DataFrame:
     """random(K) segment soup (reference bench), numpy seed 42 goldens."""
-    import ray.data as rd
-
-    ds = rd.from_arrow(linework_table(random_lines(k, seed=42)))
-    out = polygonize_dataset(ds, PipelineConfig(node_input=True))
-    return _poly_summary(out)
+    return _polygonize_summary(
+        linework_table(random_lines(k, seed=42)), PipelineConfig(node_input=True)
+    )
 
 
 def q_polygonize_skewed(sf_dir: str, k: int = 4000) -> pd.DataFrame:
