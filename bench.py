@@ -115,7 +115,8 @@ def run_bench() -> dict:
 
     # 3. flagship image pipeline (N_IMAGES tiles, shuffle-free actor pool)
     def images():
-        return image_roundtrip_pipeline(img_path, batch_size=16).to_pandas()
+        # batch_size=None = one call per (shard-sized) block — measured best
+        return image_roundtrip_pipeline(img_path, batch_size=None).to_pandas()
 
     idf = timed("image_roundtrip", images)
     assert idf["phash_ok"].all() and idf["roundtrip_ok"].all()

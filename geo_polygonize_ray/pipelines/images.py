@@ -126,13 +126,22 @@ def image_roundtrip_pipeline(
     real model in __init__).
     """
     cfg = cfg or PipelineConfig()
-    # fewer, larger read blocks: per-task fixed overhead dominates tiny
-    # batches on this single node; ~cpus/2 blocks keeps every core busy with
-    # one meaty task instead of 64 thrashing ones (measured 2.5x faster)
+    import os
+
     import ray
 
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    ds = rd.read_parquet(image_table_path, override_num_blocks=max(8, n_cpus // 2))
+    if os.path.isdir(image_table_path):
+        # sharded table: one read TASK per file, so downstream map tasks
+        # start as soon as each file lands.  A single file is read by one
+        # task whose SplitBlocks output trickles through the streaming-
+        # generator buffer and serializes the map stage (measured ~2.3x
+        # effective concurrency at any cluster size).
+        ds = rd.read_parquet(image_table_path)
+    else:
+        # single file: fewer, larger read blocks — per-task fixed overhead
+        # dominates tiny batches (measured 2.5x faster than 64 blocks)
+        ds = rd.read_parquet(image_table_path, override_num_blocks=max(8, n_cpus // 2))
     if concurrency is not None:
         return ds.map_batches(
             ImageRoundtrip,

@@ -85,6 +85,7 @@ def generate_image_table(
     h: int = 64,
     seed: int = 42,
     row_group_size: int = 2048,
+    shard_rows: int | None = None,
 ) -> str:
     """Write the input_hint-shaped Parquet table; returns the path.
 
@@ -93,6 +94,13 @@ def generate_image_table(
     ``phash`` is computed over the DECODED pixels (so it re-verifies after a
     lossy decode).  Caption embeds the scene so byte-equality survives the
     whole pipeline.
+
+    ``shard_rows``: write ``out_path`` as a DIRECTORY of part-NNN.parquet
+    shards instead of one file.  This is the 100 TB input shape (one read
+    task per file) — a single file is read by ONE Ray task whose split
+    blocks trickle through the streaming-generator buffer, serializing the
+    downstream map stage (measured: ~2.3x effective concurrency on the
+    1024-image roundtrip regardless of cluster size).
     """
     ids, blobs, fmts, captions, hashes = [], [], [], [], []
     from geo_polygonize_ray.raster.codec import decode_image
@@ -120,17 +128,36 @@ def generate_image_table(
         },
         schema=IMAGE_SCHEMA,
     )
+    if shard_rows is not None and n_rows > shard_rows:
+        os.makedirs(out_path, exist_ok=True)
+        k = 0
+        for lo in range(0, n_rows, shard_rows):
+            pq.write_table(
+                table.slice(lo, shard_rows),
+                os.path.join(out_path, f"part-{k:03d}.parquet"),
+                row_group_size=row_group_size,
+            )
+            k += 1
+        return out_path
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     pq.write_table(table, out_path, row_group_size=row_group_size)
     return out_path
 
 
+_CACHE_SHARD_ROWS = 64
+
+
 def cached_image_table(n_rows: int, w: int = 64, h: int = 64, seed: int = 42) -> str:
-    """Generate-once cache under /tmp for tests and benches."""
-    path = f"/tmp/gpr_cache/images_n{n_rows}_w{w}_h{h}_s{seed}.parquet"
+    """Generate-once cache under /tmp for tests and benches.  Tables larger
+    than one shard are directories of parquet files (parallel read tasks)."""
+    sharded = n_rows > _CACHE_SHARD_ROWS
+    suffix = "" if sharded else ".parquet"
+    path = f"/tmp/gpr_cache/images_n{n_rows}_w{w}_h{h}_s{seed}{suffix}"
     if not os.path.exists(path):
         tmp = path + ".tmp"
-        generate_image_table(n_rows, tmp, w, h, seed)
+        generate_image_table(
+            n_rows, tmp, w, h, seed, shard_rows=_CACHE_SHARD_ROWS if sharded else None
+        )
         os.replace(tmp, path)
     return path
 
