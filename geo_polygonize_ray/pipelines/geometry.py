@@ -15,7 +15,6 @@ from geo_polygonize_ray.pipelines.polygonize import (
 )
 from geo_polygonize_ray.sources.fixtures import (
     cached_image_table,
-    clustered_lines,
     grid_lines,
     linework_table,
     random_lines,
@@ -73,17 +72,29 @@ def q_polygonize_random(sf_dir: str, k: int = 100) -> pd.DataFrame:
     )
 
 
-def q_polygonize_skewed(sf_dir: str, k: int = 4000) -> pd.DataFrame:
-    """Clustered soup (skew workload) through the tiled pipeline with AUTO
-    salting (the default).  frac_hot=1.0 keeps every polygon cluster-local
-    so the fixed tile buffer honors the ownership contract; distributed ==
+def q_polygonize_skewed(sf_dir: str) -> pd.DataFrame:
+    """Dense-grid-patch skew workload through the tiled pipeline with AUTO
+    salting (the default).  Exact construction (binary-float pitches,
+    closed-form count); polygon extent is bounded by the coarse pitch so
+    the fixed tile buffer honors the ownership contract; distributed ==
     local equality is pinned in tests/test_state_salt.py."""
     import ray.data as rd
 
-    ds = rd.from_arrow(linework_table(clustered_lines(k, seed=7, frac_hot=1.0)))
-    cfg = PipelineConfig(tile_size=10.0, tile_buffer=2.0)
+    from geo_polygonize_ray.sources.fixtures import skewed_grid_lines
+
+    lines, expected = skewed_grid_lines(
+        span=100.0,
+        coarse_pitch=4.0,
+        hot_origins=((20.0, 40.0), (60.0, 0.0)),
+        hot_size=16.0,
+        fine_pitch=0.125,
+    )
+    ds = rd.from_arrow(linework_table(lines))
+    cfg = PipelineConfig(tile_size=20.0, tile_buffer=5.0)
     out = polygonize_dataset(ds, cfg, bbox=(0.0, 0.0, 100.0, 100.0))
-    return _poly_summary(out)
+    df = _poly_summary(out)
+    assert len(df) == expected, (len(df), expected)
+    return df
 
 
 def q_polygonize_tiled(sf_dir: str, n: int = 20, tile_size: float = 6.0, buffer: float = 4.0) -> pd.DataFrame:

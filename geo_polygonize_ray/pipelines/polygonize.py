@@ -78,7 +78,7 @@ def dataset_bbox(ds: rd.Dataset) -> tuple[float, float, float, float]:
 # whose absolute work is trivial (sub-millisecond trace) are never
 # subdivided — splitting them buys nothing and costs boundary duplication.
 _SALT_AUTO_MULT = 4.0
-_SALT_AUTO_FLOOR = 1_000
+_SALT_AUTO_FLOOR = 512
 
 
 def _segment_tile_counts(ds: rd.Dataset, bbox, tile_size: float, buffer: float):

@@ -212,6 +212,44 @@ def clustered_lines(
     return [hot[i] for i in range(n_hot)] + [cold[i] for i in range(k - n_hot)]
 
 
+def skewed_grid_lines(
+    span: float = 400.0,
+    coarse_pitch: float = 4.0,
+    hot_origins: tuple = ((48.0, 48.0), (200.0, 240.0), (320.0, 120.0)),
+    hot_size: float = 32.0,
+    fine_pitch: float = 0.0625,
+) -> tuple[list[np.ndarray], int]:
+    """Dense-grid-patch SKEW workload (the reference's dense-grid blowup,
+    rust_bench_output.txt:12-17, as a tiled job): a coarse grid over
+    [0, span]^2 plus fine-pitch grid patches in a few hot boxes.  All
+    parameters default to exact binary floats with fine_pitch dividing
+    coarse_pitch and box corners on coarse multiples, so every coordinate
+    is exact, coincident lines dedup exactly, and the polygon count has a
+    CLOSED FORM — returned as the second element:
+
+        (span/coarse)^2 - n_boxes*(hot/coarse)^2 + n_boxes*(hot/fine)^2
+
+    Polygon extent is bounded by coarse_pitch (ownership contract holds for
+    any buffer > coarse_pitch), unlike random soups whose rim faces can
+    span tens of units.
+    """
+    lines: list[np.ndarray] = []
+    n = int(round(span / coarse_pitch))
+    for i in range(n + 1):
+        c = i * coarse_pitch
+        lines.append(np.array([[0.0, c], [span, c]]))
+        lines.append(np.array([[c, 0.0], [c, span]]))
+    m = int(round(hot_size / fine_pitch))
+    for ox, oy in hot_origins:
+        for i in range(m + 1):
+            c = i * fine_pitch
+            lines.append(np.array([[ox, oy + c], [ox + hot_size, oy + c]]))
+            lines.append(np.array([[ox + c, oy], [ox + c, oy + hot_size]]))
+    k = int(round(hot_size / coarse_pitch))
+    expected = n * n + len(hot_origins) * (m * m - k * k)
+    return lines, expected
+
+
 def segments_table(lines: list[np.ndarray]) -> pa.Table:
     """Explode linestrings to an Arrow segments table (the hot shuffle payload
     layout from SURVEY.md §1.3)."""

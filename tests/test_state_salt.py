@@ -100,21 +100,26 @@ class TestSalting:
         assert salted.max() <= 1.5 * thr
         assert salted.max() < unsalted.max()
 
-    def test_skewed_query_equals_local(self):
-        """The bench/driver skew workload (frac_hot=1.0, fixed buffer 2.0)
-        through the ordinary tiled pipeline with AUTO salting must equal the
-        local polygonizer — pins the buffer choice in q_polygonize_skewed."""
-        from geo_polygonize_ray.sources.fixtures import clustered_lines
+    def test_skewed_grid_equals_local(self):
+        """The bench/driver skew workload (dense-grid patches) through the
+        tiled pipeline with salting must EXACTLY equal the local
+        polygonizer and the closed-form count — pins q_polygonize_skewed's
+        construction (exact binary pitches, extent bounded by coarse
+        pitch)."""
+        from geo_polygonize_ray.sources.fixtures import skewed_grid_lines
 
-        lines = clustered_lines(4000, seed=7, frac_hot=1.0)
+        lines, expected = skewed_grid_lines(
+            span=24.0,
+            coarse_pitch=4.0,
+            hot_origins=((4.0, 4.0),),
+            hot_size=8.0,
+            fine_pitch=0.25,
+        )
         local = polygonize_lines(lines, node_input=True)
-        cfg = PipelineConfig(tile_size=10.0, tile_buffer=2.0)  # salt auto
-        dist = polygonize_lines_distributed(lines, cfg, bbox=(0, 0, 100, 100))
-
-        def key6(p):
-            return tuple(round(v, 6) for v in poly_key(p)[:5]) + (poly_key(p)[5],)
-
-        assert sorted(map(key6, dist)) == sorted(map(key6, local))
+        assert len(local) == expected
+        cfg = PipelineConfig(tile_size=8.0, tile_buffer=5.0, salt_threshold=30)
+        dist = polygonize_lines_distributed(lines, cfg, bbox=(0, 0, 24, 24))
+        assert sorted(map(poly_key, dist)) == sorted(map(poly_key, local))
 
     def test_auto_salted_equals_local_clustered(self):
         """Distributed == local on the clustered soup.  Background segments
