@@ -109,8 +109,14 @@ def run_bench() -> dict:
     n = timed("polygonize_grid_tiled", grid_tiled)
     polys_tiles += n + n_tiles
 
-    # 2. random segment soup (untiled single-group; correctness-representative)
-    df = timed("polygonize_random", lambda: q_polygonize_random(SF_DIR, k=200))
+    # 2. random segment soup (untiled; the latency microbench — fully
+    # in-process, ~0.05 s, so extra repeats are cheap and shed the
+    # scheduling noise of the big job that ran just before it)
+    df = timed(
+        "polygonize_random",
+        lambda: q_polygonize_random(SF_DIR, k=200),
+        n_repeats=max(repeats, 5),
+    )
     polys_tiles += len(df)
 
     # 3. flagship image pipeline (N_IMAGES tiles, shuffle-free actor pool)
