@@ -284,6 +284,12 @@ def polygonize_dataset_adaptive(
     object store — only the small verdict/witness pulls hit the driver.  The
     returned Dataset lazily reads the round checkpoints, so ``spill_dir``
     must outlive its consumption.
+
+    Documented limitation: the adaptive path runs UNSALTED (hot={}) — its
+    per-round window bookkeeping and witness routing key on unsalted leaf
+    ids.  A workload combining dense skew AND polygons larger than the
+    buffer should use a smaller tile_size (more, lighter tiles) instead;
+    group-count overhead stays bounded by the ~4x-cores bucketing.
     """
     import glob as _glob
     import os
