@@ -765,7 +765,13 @@ def ngram_jaccard_pairs(
         for i in range(len(a_ids)):
             a = gs[int(a_ids[i])]
             b = gs[int(b_ids[i])]
-            inter = np.intersect1d(a, b, assume_unique=True).size
+            if len(a) < len(b):
+                a, b = b, a
+            # both arrays are pre-sorted unique (np.unique output):
+            # searchsorted membership skips intersect1d's re-sort
+            idx = np.searchsorted(a, b)
+            idx[idx == len(a)] = 0 if len(a) else 0
+            inter = int(np.count_nonzero(a[idx] == b)) if len(a) else 0
             jac[i] = inter / max(len(a) + len(b) - inter, 1)
         out = pd.DataFrame({"doc_a": a_ids, "doc_b": b_ids, "jaccard": jac})
         return out[out["jaccard"] >= threshold]
