@@ -100,6 +100,35 @@ class TestSalting:
         assert salted.max() <= 1.5 * thr
         assert salted.max() < unsalted.max()
 
+    def test_stride_sampled_histogram_estimates(self):
+        """Batches above the stride threshold are sampled; the scaled-up
+        estimate must stay within a few percent of the exact count on a
+        250k-segment batch (the path the small fixtures never hit)."""
+        import numpy as np
+        import ray.data as rd
+
+        from geo_polygonize_ray.pipelines.polygonize import _segment_tile_counts
+        from geo_polygonize_ray.sources.fixtures import linework_table
+
+        rng = np.random.default_rng(5)
+        n = 250_001  # > the 200k stride threshold
+        pts = rng.uniform(0.0, 100.0, (n, 2))
+        # one huge linestring -> consecutive point pairs are the segments
+        t = linework_table([pts])
+        bbox = (0.0, 0.0, 100.0, 100.0)
+        est = _segment_tile_counts(rd.from_arrow(t), bbox, 10.0, 0.0)
+        # counts are bbox-overlap DUPLICATION counts (shuffle-group sizes),
+        # so they exceed n-1; all 100 tiles are heavily occupied here
+        assert len(est[est > 1000]) > 50
+        # exact recount at stride 1 by splitting the line into small rows
+        rows = [pts[i : i + 101] for i in range(0, n - 1, 100)]
+        exact = _segment_tile_counts(
+            rd.from_arrow(linework_table(rows)), bbox, 10.0, 0.0
+        )
+        common = est.index.intersection(exact.index)
+        ratio = (est[common] / exact[common]).to_numpy()
+        assert np.all((ratio > 0.85) & (ratio < 1.15))
+
     def test_skewed_grid_equals_local(self):
         """The bench/driver skew workload (dense-grid patches) through the
         tiled pipeline with salting must EXACTLY equal the local
