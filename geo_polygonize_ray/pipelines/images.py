@@ -63,24 +63,75 @@ class ImageRoundtrip:
         roundtrip_ok = np.zeros(n, dtype=bool)
         poly_tables = []
 
-        for i in range(n):
-            img = decode_image(blobs[i], int(ws[i]), int(hs[i]), fmts[i])
-            phash_ok[i] = phash64(img) == int(hashes[i])
-            x0, y0, x1, y1 = labels_to_linework(rgb_to_labels(img))
-            fx, fy, offs = trace_rings(x0, y0, x1, y1)
+        if not self.emit_polygons and n > 1:
+            # Batched trace/assembly ACROSS the images of the batch: each
+            # image's (integer-coordinate) linework is translated into its
+            # own disjoint slab (x += i * 2^13 — exact float arithmetic, and
+            # every geometric decision below is translation-invariant), ONE
+            # trace_rings + assemble_flat runs over the merged soup (graph
+            # components stay per-image), and results split back by slab.
+            # Replaces 2 x n vectorized-but-tiny calls whose fixed numpy
+            # overhead dominated at 64x64 tiles (~1.7 ms of 4.9 ms/image).
+            STRIDE = float(1 << 13)
+            imgs = []
+            sx0, sy0, sx1, sy1 = [], [], [], []
+            for i in range(n):
+                img = decode_image(blobs[i], int(ws[i]), int(hs[i]), fmts[i])
+                phash_ok[i] = phash64(img) == int(hashes[i])
+                imgs.append(img)
+                x0, y0, x1, y1 = labels_to_linework(rgb_to_labels(img))
+                off = i * STRIDE
+                sx0.append(x0 + off)
+                sy0.append(y0)
+                sx1.append(x1 + off)
+                sy1.append(y1)
+            fx, fy, offs = trace_rings(
+                np.concatenate(sx0), np.concatenate(sy0),
+                np.concatenate(sx1), np.concatenate(sy1),
+            )
             flat = assemble_flat(fx, fy, offs)
-            n_polys[i] = len(flat["area"])
-            total_area[i] = float(flat["area"].sum())
-            # reconstruction uses the face decomposition (exact); polygon
-            # assembly keeps reference parity for the stats/polygons output
-            recon = rasterize_faces(fx, fy, offs, img)
-            p = psnr(img, recon)
-            psnr_db[i] = p
-            roundtrip_ok[i] = p >= self.psnr_threshold_db
-            if self.emit_polygons:
-                t = flat_to_table(flat, tile_id=0)
-                t = t.append_column("image_id", pa.array([image_ids[i]] * t.num_rows))
-                poly_tables.append(t)
+            # attribute polygons by their shell's FIRST VERTEX — always
+            # inside the slab, unlike the hole-inclusive centroid which can
+            # leave the bbox for heavily-holed polygons
+            sh_off = flat["shell_offsets"]
+            slab = (flat["shell_values_x"][sh_off[:-1]] // STRIDE).astype(np.int64)
+            n_polys[:] = np.bincount(slab, minlength=n)
+            total_area[:] = np.bincount(slab, weights=flat["area"], minlength=n)
+            # group traced FACES by slab and rasterize per image
+            ring_slab = (fx[offs[:-1]] // STRIDE).astype(np.int64) if len(offs) > 1 else np.empty(0, np.int64)
+            order = np.argsort(ring_slab, kind="stable")
+            sorted_slab = ring_slab[order]
+            for i in range(n):
+                lo = np.searchsorted(sorted_slab, i)
+                hi = np.searchsorted(sorted_slab, i + 1)
+                ridx = order[lo:hi]
+                lens = offs[ridx + 1] - offs[ridx]
+                loffs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+                pos = np.arange(loffs[-1]) - np.repeat(loffs[:-1], lens)
+                g = np.repeat(offs[ridx], lens) + pos
+                recon = rasterize_faces(fx[g] - i * STRIDE, fy[g], loffs, imgs[i])
+                p = psnr(imgs[i], recon)
+                psnr_db[i] = p
+                roundtrip_ok[i] = p >= self.psnr_threshold_db
+        else:
+            for i in range(n):
+                img = decode_image(blobs[i], int(ws[i]), int(hs[i]), fmts[i])
+                phash_ok[i] = phash64(img) == int(hashes[i])
+                x0, y0, x1, y1 = labels_to_linework(rgb_to_labels(img))
+                fx, fy, offs = trace_rings(x0, y0, x1, y1)
+                flat = assemble_flat(fx, fy, offs)
+                n_polys[i] = len(flat["area"])
+                total_area[i] = float(flat["area"].sum())
+                # reconstruction uses the face decomposition (exact); polygon
+                # assembly keeps reference parity for the stats/polygons output
+                recon = rasterize_faces(fx, fy, offs, img)
+                p = psnr(img, recon)
+                psnr_db[i] = p
+                roundtrip_ok[i] = p >= self.psnr_threshold_db
+                if self.emit_polygons:
+                    t = flat_to_table(flat, tile_id=0)
+                    t = t.append_column("image_id", pa.array([image_ids[i]] * t.num_rows))
+                    poly_tables.append(t)
 
         if self.emit_polygons:
             if not poly_tables:
