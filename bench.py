@@ -80,7 +80,11 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
     polys_tiles = 0
-    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    # best-of-3 by default: the host has noisy-neighbor windows where
+    # EVERYTHING runs 1.4-2x slow for minutes at a time (a fixed gemm probe
+    # ranges 3.4-6.1 s for identical work); three repeats usually straddle
+    # a window edge where two do not
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
 
     def timed(name, fn, n_repeats=None):
         # best-of-N: the host occasionally has noisy-neighbor windows where
