@@ -254,39 +254,38 @@ class SnapNoder:
             i, j = i[fresh], j[fresh]
         if len(i) == 0:
             return None
-        if len(i):
-            # Cheap certainty filter: a pair sharing an exact endpoint whose
-            # directions are CERTAINLY non-parallel (float cross product
-            # exceeds its rounding-error bound) intersects exactly at that
-            # shared endpoint — register() would reject it on both sides, so
-            # classification is wasted work.  After a split round most
-            # candidate pairs are pieces meeting at a split point (~85% on
-            # the random-soup bench), making this the round-2 hot filter.
-            # Pairs with an uncertain (possibly collinear) cross keep going:
-            # collinear overlap past the shared endpoint must still split.
-            share = (
-                ((x0[i] == x0[j]) & (y0[i] == y0[j]))
-                | ((x0[i] == x1[j]) & (y0[i] == y1[j]))
-                | ((x1[i] == x0[j]) & (y1[i] == y0[j]))
-                | ((x1[i] == x1[j]) & (y1[i] == y1[j]))
-            )
-            if share.any():
-                dxi = x1[i] - x0[i]
-                dyi = y1[i] - y0[i]
-                dxj = x1[j] - x0[j]
-                dyj = y1[j] - y0[j]
-                l = dxi * dyj
-                r = dyi * dxj
-                cross = l - r
-                # same error-bound constant as the robust orient2d tier A
-                from geo_polygonize_ray.geom.robust import CCW_ERRBOUND_A
+        # Cheap certainty filter: a pair sharing an exact endpoint whose
+        # directions are CERTAINLY non-parallel (float cross product
+        # exceeds its rounding-error bound) intersects exactly at that
+        # shared endpoint — register() would reject it on both sides, so
+        # classification is wasted work.  After a split round most
+        # candidate pairs are pieces meeting at a split point (~85% on
+        # the random-soup bench), making this the round-2 hot filter.
+        # Pairs with an uncertain (possibly collinear) cross keep going:
+        # collinear overlap past the shared endpoint must still split.
+        share = (
+            ((x0[i] == x0[j]) & (y0[i] == y0[j]))
+            | ((x0[i] == x1[j]) & (y0[i] == y1[j]))
+            | ((x1[i] == x0[j]) & (y1[i] == y0[j]))
+            | ((x1[i] == x1[j]) & (y1[i] == y1[j]))
+        )
+        if share.any():
+            dxi = x1[i] - x0[i]
+            dyi = y1[i] - y0[i]
+            dxj = x1[j] - x0[j]
+            dyj = y1[j] - y0[j]
+            l = dxi * dyj
+            r = dyi * dxj
+            cross = l - r
+            # same error-bound constant as the robust orient2d tier A
+            from geo_polygonize_ray.geom.robust import CCW_ERRBOUND_A
 
-                certain = np.abs(cross) > CCW_ERRBOUND_A * (np.abs(l) + np.abs(r))
-                drop = share & certain
-                if drop.any():
-                    i, j = i[~drop], j[~drop]
-                    if len(i) == 0:
-                        return None
+            certain = np.abs(cross) > CCW_ERRBOUND_A * (np.abs(l) + np.abs(r))
+            drop = share & certain
+            if drop.any():
+                i, j = i[~drop], j[~drop]
+                if len(i) == 0:
+                    return None
         kind, axp, ayp, bxp, byp = segment_intersections(
             x0[i], y0[i], x1[i], y1[i], x0[j], y0[j], x1[j], y1[j]
         )

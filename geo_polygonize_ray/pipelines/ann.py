@@ -163,8 +163,6 @@ def build_ivf_index(
     import shutil
     import uuid
 
-    if os.path.isdir(index_dir):  # dirty leftover: _SUCCESS is absent here
-        shutil.rmtree(index_dir)
     tmp_dir = f"{index_dir}.build-{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp_dir, exist_ok=True)
     ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=4096).write_parquet(
@@ -173,12 +171,31 @@ def build_ivf_index(
     np.save(os.path.join(tmp_dir, "centroids.npy"), cent)
     with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as f:
         f.write("ok")
-    try:
-        os.rename(tmp_dir, index_dir)
-    except OSError:
-        # another process published the same content-addressed index first
-        shutil.rmtree(tmp_dir, ignore_errors=True)
+    _publish_atomic(tmp_dir, index_dir)
     return index_dir, np.load(cent_path)
+
+
+def _publish_atomic(tmp_dir: str, out_dir: str) -> None:
+    """Publish a fully-built tmp dir at ``out_dir`` via atomic rename.
+
+    Sweeping happens only at publish time, and only for a dir WITHOUT
+    _SUCCESS — such a dir can have no readers (consumers appear only after
+    _SUCCESS exists), so a concurrently published valid index is never
+    deleted (a dirty-dir sweep before the build had that TOCTOU hole)."""
+    import os
+    import shutil
+
+    for _ in range(2):
+        try:
+            os.rename(tmp_dir, out_dir)
+            return
+        except OSError:
+            if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+                # another process published equivalent content first
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+                return
+            shutil.rmtree(out_dir, ignore_errors=True)  # dirty leftover
+    shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
 def q_ann_ivf(

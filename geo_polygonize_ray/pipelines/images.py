@@ -72,7 +72,9 @@ class ImageRoundtrip:
             # components stay per-image), and results split back by slab.
             # Replaces 2 x n vectorized-but-tiny calls whose fixed numpy
             # overhead dominated at 64x64 tiles (~1.7 ms of 4.9 ms/image).
-            STRIDE = float(1 << 13)
+            # slab stride: power of two strictly above the widest image so
+            # slabs never collide (and i*STRIDE stays exact in float64)
+            STRIDE = float(1 << max(13, int(np.ceil(np.log2(float(ws.max()) + 2.0)))))
             imgs = []
             sx0, sy0, sx1, sy1 = [], [], [], []
             for i in range(n):

@@ -410,8 +410,6 @@ def _minhash_signature_checkpoint(sf_dir: str, n_perm: int) -> str:
     out_dir = f"/tmp/gpr_cache/minhash_sigs_{tag}"
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return out_dir
-    if os.path.isdir(out_dir):  # dirty leftover from a crashed build
-        shutil.rmtree(out_dir)
     os.makedirs("/tmp/gpr_cache", exist_ok=True)
     tmp_dir = f"{out_dir}.build-{uuid.uuid4().hex[:8]}"
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -420,10 +418,9 @@ def _minhash_signature_checkpoint(sf_dir: str, n_perm: int) -> str:
     )
     with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as f:
         f.write("ok")
-    try:
-        os.rename(tmp_dir, out_dir)
-    except OSError:
-        shutil.rmtree(tmp_dir, ignore_errors=True)  # another process won
+    from geo_polygonize_ray.pipelines.ann import _publish_atomic
+
+    _publish_atomic(tmp_dir, out_dir)
     return out_dir
 
 
@@ -767,11 +764,15 @@ def ngram_jaccard_pairs(
             b = gs[int(b_ids[i])]
             if len(a) < len(b):
                 a, b = b, a
-            # both arrays are pre-sorted unique (np.unique output):
-            # searchsorted membership skips intersect1d's re-sort
-            idx = np.searchsorted(a, b)
-            idx[idx == len(a)] = 0 if len(a) else 0
-            inter = int(np.count_nonzero(a[idx] == b)) if len(a) else 0
+            inter = 0
+            if len(a):
+                # both arrays are pre-sorted unique (np.unique output):
+                # searchsorted membership skips intersect1d's re-sort; the
+                # clamp maps past-the-end hits to a[0], which can't equal a
+                # value greater than a's maximum
+                idx = np.searchsorted(a, b)
+                idx[idx == len(a)] = 0
+                inter = int(np.count_nonzero(a[idx] == b))
             jac[i] = inter / max(len(a) + len(b) - inter, 1)
         out = pd.DataFrame({"doc_a": a_ids, "doc_b": b_ids, "jaccard": jac})
         return out[out["jaccard"] >= threshold]

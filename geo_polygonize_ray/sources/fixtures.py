@@ -150,15 +150,28 @@ _CACHE_SHARD_ROWS = 64
 def cached_image_table(n_rows: int, w: int = 64, h: int = 64, seed: int = 42) -> str:
     """Generate-once cache under /tmp for tests and benches.  Tables larger
     than one shard are directories of parquet files (parallel read tasks)."""
+    import uuid
+
     sharded = n_rows > _CACHE_SHARD_ROWS
     suffix = "" if sharded else ".parquet"
     path = f"/tmp/gpr_cache/images_n{n_rows}_w{w}_h{h}_s{seed}{suffix}"
     if not os.path.exists(path):
-        tmp = path + ".tmp"
+        # per-builder unique tmp: concurrent cold-cache builders (parallel
+        # test workers) must not share a staging dir; whoever renames first
+        # wins and the loser just discards its copy (contents identical)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         generate_image_table(
             n_rows, tmp, w, h, seed, shard_rows=_CACHE_SHARD_ROWS if sharded else None
         )
-        os.replace(tmp, path)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            import shutil
+
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp, ignore_errors=True)
+            elif os.path.exists(tmp):
+                os.remove(tmp)
     return path
 
 

@@ -283,7 +283,10 @@ def polygonize_dataset_adaptive(
     ``spill_dir`` (default: a fresh /tmp dir) instead of being pinned in the
     object store — only the small verdict/witness pulls hit the driver.  The
     returned Dataset lazily reads the round checkpoints, so ``spill_dir``
-    must outlive its consumption.
+    must outlive its consumption; the caller owns its cleanup (the default
+    tempfile dir accumulates in /tmp otherwise — polygon-sized, so reruns
+    at scale should pass an explicit spill_dir and clean or reuse it; a
+    reused dir's per-round subdirs are swept before rewrite).
 
     Documented limitation: the adaptive path runs UNSALTED (hot={}) — its
     per-round window bookkeeping and witness routing key on unsalted leaf
@@ -399,6 +402,13 @@ def polygonize_dataset_adaptive(
         # life of the loop; verdict/witness pulls below are small column
         # scans over the checkpoint.
         round_dir = os.path.join(spill_dir, f"round-{r}")
+        if os.path.isdir(round_dir):
+            # a REUSED spill_dir (rerun after a crash): write_parquet appends
+            # uniquely-named files, so stale files from the previous run
+            # would be read back as duplicates — sweep first
+            import shutil
+
+            shutil.rmtree(round_dir)
         work.groupby("bucket").map_groups(tracer, batch_format="pyarrow").write_parquet(
             round_dir
         )
