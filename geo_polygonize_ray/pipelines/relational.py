@@ -25,6 +25,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from geo_polygonize_ray.functions import join_partitions
+
 
 def _read(sf_dir: str, name: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
@@ -131,7 +133,7 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(sel_orders, batch_format="pyarrow", batch_size=65536)
     orders_sel = orders_f.join(
-        cust_sel, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+        cust_sel, join_type="inner", num_partitions=join_partitions(), on=("o_custkey",), right_on=("c_custkey",)
     ).select_columns(["o_orderkey"])
 
     def revenue(batch: pa.Table) -> pa.Table:
@@ -146,7 +148,7 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     )
     partials = li.map_batches(revenue, batch_format="pyarrow", batch_size=65536)
     joined = partials.join(
-        orders_sel, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+        orders_sel, join_type="inner", num_partitions=join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",)
     )
     from geo_polygonize_ray.functions import bucketed_groupby
 
@@ -210,7 +212,7 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
         .join(
             cust_nk,
             join_type="inner",
-            num_partitions=8,
+            num_partitions=join_partitions(),
             on=("o_custkey",),
             right_on=("c_custkey",),
         )
@@ -226,7 +228,7 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
     partials = li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
     joined = partials.join(
-        orders_nk, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+        orders_nk, join_type="inner", num_partitions=join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",)
     )
 
     from ray.data.aggregate import Sum
@@ -413,7 +415,7 @@ def q_hash_join_order_revenue(sf_dir: str) -> pd.DataFrame:
         lambda g: g.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum")),
     )
     joined = rev.join(
-        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+        orders, join_type="inner", num_partitions=join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",)
     )
 
     g = (

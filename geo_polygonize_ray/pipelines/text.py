@@ -20,6 +20,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from geo_polygonize_ray.functions.agg import join_partitions
+
 from geo_polygonize_ray.pipelines.relational import _read, r4
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
@@ -579,7 +581,7 @@ def minhash_dedup_groups(
     converged = False
     for _ in range(max_rounds):
         # neighbour labels: edges (src, dst) x labels(node=src) -> (dst, label)
-        m = edges.join(labels, join_type="inner", num_partitions=4, on=("src",), right_on=("node",))
+        m = edges.join(labels, join_type="inner", num_partitions=join_partitions(floor=4), on=("src",), right_on=("node",))
 
         def msg(b: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({"node": b["dst"].to_numpy(np.int64), "label": b["label"].to_numpy(np.int64)})
@@ -597,7 +599,7 @@ def minhash_dedup_groups(
             )
 
         right = labels.map_batches(as_right, batch_format="pandas")
-        m2 = labels.join(right, join_type="inner", num_partitions=4, on=("label",), right_on=("node_r",))
+        m2 = labels.join(right, join_type="inner", num_partitions=join_partitions(floor=4), on=("label",), right_on=("node_r",))
 
         def msg2(b: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame(

@@ -44,13 +44,23 @@ def stable_plane_key(plane_id: str) -> int:
 
 def add_plane_key(batch: pa.Table) -> pa.Table:
     """Replace the plane_id STRING with an int64 plane_key before the
-    shuffle (hash computed once per distinct value per batch) — string
-    payloads stay out of the exchange."""
+    shuffle — string payloads stay out of the exchange.  The column is
+    dictionary-encoded so the sha1 hash runs once per DISTINCT plane id
+    (typically a handful) and the per-row work is a single ``np.take``
+    over the int32 indices; no ``to_pylist`` of the full column."""
     if "plane_id" not in batch.schema.names:
         return batch
-    ids = batch["plane_id"].to_pylist()
-    lut = {v: stable_plane_key(v) for v in set(ids)}
-    keys = np.fromiter((lut[v] for v in ids), dtype=np.int64, count=len(ids))
+    col = batch["plane_id"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = col.dictionary_encode()
+    dict_keys = np.fromiter(
+        (stable_plane_key(v) for v in enc.dictionary.to_pylist()),
+        dtype=np.int64,
+        count=len(enc.dictionary),
+    )
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = dict_keys[idx] if len(dict_keys) else np.empty(0, dtype=np.int64)
     return batch.drop_columns(["plane_id"]).append_column("plane_key", pa.array(keys))
 
 
@@ -183,6 +193,18 @@ class SaltedTileAssigner(TileAssigner):
         for k, v in self.hot.items():
             if not (2 <= v <= 8):
                 raise ValueError(f"salt factor {v} for tile {k} outside 2..8")
+        # sorted lookup arrays for the vectorized per-row salt-factor path
+        self._hot_keys = np.array(sorted(self.hot), dtype=np.int64)
+        self._hot_vals = np.array([self.hot[int(k)] for k in self._hot_keys], dtype=np.int64)
+
+    def _salt_factors(self, tile_ids: np.ndarray) -> np.ndarray:
+        """Per-row salt factor k (1 for cold tiles), via searchsorted on the
+        precomputed sorted hot-key array — no per-row Python."""
+        tids = np.asarray(tile_ids, dtype=np.int64)
+        if not len(self._hot_keys) or not len(tids):
+            return np.ones(len(tids), dtype=np.int64)
+        p = np.minimum(np.searchsorted(self._hot_keys, tids), len(self._hot_keys) - 1)
+        return np.where(self._hot_keys[p] == tids, self._hot_vals[p], 1)
 
     def leaf_rect(self, leaf_id: int) -> tuple[float, float, float, float]:
         base, sub = divmod(int(leaf_id), _SALT_SUBS)
@@ -208,11 +230,7 @@ class SaltedTileAssigner(TileAssigner):
         x1 = np.minimum(x0 + self.tile_size, self.maxx)
         y1 = np.minimum(y0 + self.tile_size, self.maxy)
         if self.hot:
-            hk = np.array(sorted(self.hot), dtype=np.int64)
-            kv = np.array([self.hot[int(k)] for k in hk], dtype=np.int64)
-            p = np.searchsorted(hk, base)
-            pc = np.minimum(p, len(hk) - 1)
-            k = np.where(hk[pc] == base, kv[pc], 1)
+            k = self._salt_factors(base)
             rr, cc = np.divmod(sub, k)
             w = (x1 - x0) / k
             h = (y1 - y0) / k
@@ -224,70 +242,54 @@ class SaltedTileAssigner(TileAssigner):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         base = super().__call__(batch)
+        tid_idx = base.schema.get_field_index("tile_id")
         if not self.hot or base.num_rows == 0:
             if base.num_rows:
                 leaf = base["tile_id"].to_numpy() * _SALT_SUBS
             else:
                 leaf = np.empty(0, dtype=np.int64)
-            return base.set_column(
-                base.schema.get_field_index("tile_id"), "tile_id", pa.array(leaf.astype(np.int64))
-            )
+            return base.set_column(tid_idx, "tile_id", pa.array(leaf.astype(np.int64)))
         tids = base["tile_id"].to_numpy()
-        is_hot = np.isin(tids, list(self.hot))
-        cold = np.flatnonzero(~is_hot)
+        kfac = self._salt_factors(tids)
+        cold = np.flatnonzero(kfac == 1)
         out_parts = []
         if len(cold):
             t = base.take(pa.array(cold))
-            leaf = t["tile_id"].to_numpy() * _SALT_SUBS
-            out_parts.append(
-                t.set_column(t.schema.get_field_index("tile_id"), "tile_id", pa.array(leaf))
-            )
-        hot_rows = np.flatnonzero(is_hot)
+            leaf = tids[cold] * _SALT_SUBS
+            out_parts.append(t.set_column(tid_idx, "tile_id", pa.array(leaf)))
+        hot_rows = np.flatnonzero(kfac > 1)
         if len(hot_rows):
+            # fully vectorized: per-row salt factor + per-row base-tile rect,
+            # one repeat/offset expansion for every hot row regardless of k
             t = base.take(pa.array(hot_rows))
             bminx, bminy, bmaxx, bmaxy = self._bboxes(t)
-            htids = t["tile_id"].to_numpy()
+            htids = tids[hot_rows]
+            hk = kfac[hot_rows]
+            r, c = np.divmod(htids, self.n_cols)
+            tx0 = self.minx + c * self.tile_size
+            ty0 = self.miny + r * self.tile_size
+            tx1 = np.minimum(tx0 + self.tile_size, self.maxx)
+            ty1 = np.minimum(ty0 + self.tile_size, self.maxy)
+            w = (tx1 - tx0) / hk
+            h = (ty1 - ty0) / hk
             buf = self.buffer
-            rep_rows = []
-            rep_leaf = []
-            # group hot rows by their base tile's salt factor; vectorize per k
-            for k in sorted(set(self.hot[int(x)] for x in np.unique(htids))):
-                sel = np.flatnonzero(
-                    np.array([self.hot[int(x)] == k for x in htids])
-                )
-                if not len(sel):
-                    continue
-                tx0 = np.array([self.tile_rect(int(htids[i]))[0] for i in sel])
-                ty0 = np.array([self.tile_rect(int(htids[i]))[1] for i in sel])
-                tx1 = np.array([self.tile_rect(int(htids[i]))[2] for i in sel])
-                ty1 = np.array([self.tile_rect(int(htids[i]))[3] for i in sel])
-                w = (tx1 - tx0) / k
-                h = (ty1 - ty0) / k
-                c0 = np.clip(np.ceil((bminx[sel] - buf - tx0) / w - 1.0), 0, k - 1).astype(np.int64)
-                c1 = np.clip(np.floor((bmaxx[sel] + buf - tx0) / w), 0, k - 1).astype(np.int64)
-                r0 = np.clip(np.ceil((bminy[sel] - buf - ty0) / h - 1.0), 0, k - 1).astype(np.int64)
-                r1 = np.clip(np.floor((bmaxy[sel] + buf - ty0) / h), 0, k - 1).astype(np.int64)
-                counts = (c1 - c0 + 1) * (r1 - r0 + 1)
-                total = int(counts.sum())
-                rr = np.repeat(sel, counts)
-                local = np.arange(total) - np.repeat(
-                    np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
-                )
-                width = np.repeat(c1 - c0 + 1, counts)
-                dc = local % width
-                dr = local // width
-                sub = (np.repeat(r0, counts) + dr) * k + (np.repeat(c0, counts) + dc)
-                rep_rows.append(rr)
-                rep_leaf.append(htids[rr] * _SALT_SUBS + sub)
-            if rep_rows:
-                rr = np.concatenate(rep_rows)
-                lf = np.concatenate(rep_leaf)
-                t2 = t.take(pa.array(rr))
-                out_parts.append(
-                    t2.set_column(
-                        t2.schema.get_field_index("tile_id"), "tile_id", pa.array(lf.astype(np.int64))
-                    )
-                )
+            c0 = np.clip(np.ceil((bminx - buf - tx0) / w - 1.0), 0, hk - 1).astype(np.int64)
+            c1 = np.clip(np.floor((bmaxx + buf - tx0) / w), 0, hk - 1).astype(np.int64)
+            r0 = np.clip(np.ceil((bminy - buf - ty0) / h - 1.0), 0, hk - 1).astype(np.int64)
+            r1 = np.clip(np.floor((bmaxy + buf - ty0) / h), 0, hk - 1).astype(np.int64)
+            counts = (c1 - c0 + 1) * (r1 - r0 + 1)
+            total = int(counts.sum())
+            rr = np.repeat(np.arange(len(hot_rows)), counts)
+            local = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+            width = np.repeat(c1 - c0 + 1, counts)
+            dc = local % width
+            dr = local // width
+            sub = (np.repeat(r0, counts) + dr) * np.repeat(hk, counts) + (
+                np.repeat(c0, counts) + dc
+            )
+            lf = htids[rr] * _SALT_SUBS + sub
+            t2 = t.take(pa.array(rr))
+            out_parts.append(t2.set_column(tid_idx, "tile_id", pa.array(lf.astype(np.int64))))
         return pa.concat_tables(out_parts) if out_parts else base.slice(0, 0)
 
 
