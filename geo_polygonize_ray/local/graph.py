@@ -56,7 +56,23 @@ class PlanarGraph:
         ex = np.concatenate([x0, x1])
         ey = np.concatenate([y0, y1])
         ez = z_order_index(ex, ey)
-        order = np.lexsort((ey, ex, ez))
+        # two-phase (z, x, y) sort: quicksort on z, then an exact (x, y)
+        # refinement of equal-z runs only.  Ties across all three keys are
+        # bit-identical coords (they dedup into one node below), so no
+        # stability is needed and quicksort replaces this numpy's slow
+        # stable sort.  Z collisions are rare for float soups; for
+        # integer-grid coords (all-zero low mantissa bits -> equal z) the
+        # refinement degenerates to the full lexsort, i.e. never worse.
+        order = np.argsort(ez)
+        ezs = ez[order]
+        same = ezs[1:] == ezs[:-1]
+        if same.any():
+            in_run = np.concatenate([[False], same]) | np.concatenate([same, [False]])
+            pos = np.flatnonzero(in_run)
+            sub = order[pos]
+            run_id = np.cumsum(np.concatenate([[True], ~same]))[pos]
+            ro = np.lexsort((ey[sub], ex[sub], run_id))
+            order[pos] = sub[ro]
         sx, sy = ex[order], ey[order]
         if m:
             new = np.empty(2 * m, dtype=bool)
@@ -120,8 +136,25 @@ class PlanarGraph:
         q = quadrant(dx, dy)
         pa = pseudo_angle_within_quadrant(dx, dy, q)
         d2 = dx * dx + dy * dy
-        # stable composite sort within the existing src grouping
-        order = np.lexsort((np.arange(len(de)), d2, pa, q, self.de_src[de]))
+        ang = 2.0 * q + pa  # pa in [0,1], stride 2 separates quadrants
+        src = self.de_src[de]
+        n_nodes = self.n_nodes
+        if n_nodes < (1 << 39):
+            # ONE quicksort of a packed uint64 (src | 24-bit quantized
+            # angle) instead of a multi-key stable lexsort — this numpy's
+            # stable sort is ~6x slower than quicksort.  Correctness does
+            # not depend on the pre-sort: the certification pass below
+            # checks EVERY adjacent pair with exact predicates and
+            # re-sorts flagged nodes with the reference comparator, so
+            # quantization misorders (near-equal angles) and unstable
+            # ties are always repaired; exact full-key ties would mean
+            # two half-edges to the same destination coords, which the
+            # noder's segment dedup makes impossible.
+            angq = np.minimum((ang * float(1 << 21)).astype(np.uint64), np.uint64((1 << 24) - 1))
+            key = (src.astype(np.uint64) << np.uint64(24)) | angq
+            order = np.argsort(key)
+        else:
+            order = np.lexsort((d2, ang, src))
         self.adj = de[order]
 
         # --- certification pass ---------------------------------------
@@ -286,7 +319,15 @@ class PlanarGraph:
         m = len(live)
         steps = 1
         while steps < m:
-            lab = np.minimum(lab, lab[jump])
+            new_lab = np.minimum(lab, lab[jump])
+            if np.array_equal(new_lab, lab):
+                # convergence proof: labels are DISTINCT edge ids, so "no
+                # change at window 2^k" forces every cycle length <= 2^(k-1)
+                # (a longer cycle has a position whose doubled window first
+                # reaches the cycle minimum).  Rings are short (~4-8 edges),
+                # so this exits after ~3 rounds instead of log2(m).
+                break
+            lab = new_lab
             jump = jump[jump]
             steps <<= 1
 
@@ -301,14 +342,22 @@ class PlanarGraph:
         steps = 1
         while steps < m:
             dist = dist + dist[ptr]
-            ptr = ptr[ptr]
+            ptr_new = ptr[ptr]
+            if np.array_equal(ptr_new, ptr):
+                break  # every pointer reached its terminal; dist is final
+            ptr = ptr_new
             steps <<= 1
         # dist = #steps to cycle end; rank from leader = cycle_len - 1 - dist
         ring_sizes = np.bincount(leader_local, minlength=m)
         rank = ring_sizes[leader_local] - 1 - dist
 
-        # order rings by leader edge id, edges by rank within ring
-        order = np.lexsort((rank, lab))
+        # order rings by leader edge id, edges by rank within ring — packed
+        # into ONE uint64 (keys are unique: rank is unique within a ring),
+        # so a single quicksort replaces the 2-pass stable lexsort
+        if n_de < (1 << 32):
+            order = np.argsort((lab.astype(np.uint64) << np.uint64(32)) | rank.astype(np.uint64))
+        else:
+            order = np.lexsort((rank, lab))
         ordered_edges = live[order]
         ordered_leaders = lab[order]
         starts_mask = np.concatenate([[True], ordered_leaders[1:] != ordered_leaders[:-1]])

@@ -39,30 +39,38 @@ def _candidate_pairs(x0, y0, x1, y1) -> tuple[np.ndarray, np.ndarray]:
 
     gminx, gmaxx = float(minx.min()), float(maxx.max())
     gminy, gmaxy = float(miny.min()), float(maxy.max())
-    # bucket size ~ median segment extent, bounded so the grid stays sane
+    # bucket size ~ 2x median segment extent, bounded so the grid stays
+    # sane.  The RESULT is h-independent (an AABB-overlapping pair always
+    # shares the bucket containing an overlap point), so h is purely a
+    # perf knob; 2x measured fastest on the random-soup bench (fewer
+    # exploded rows/buckets beats slightly larger in-bucket pair counts).
     ext = np.median(np.maximum(maxx - minx, maxy - miny))
     span = max(gmaxx - gminx, gmaxy - gminy, 1e-300)
-    h = max(float(ext), span / 1024.0)
+    h = max(2.0 * float(ext), span / 1024.0)
     if h <= 0:
         h = span
 
-    bx0 = np.floor((minx - gminx) / h).astype(np.int64)
-    bx1 = np.floor((maxx - gminx) / h).astype(np.int64)
-    by0 = np.floor((miny - gminy) / h).astype(np.int64)
-    by1 = np.floor((maxy - gminy) / h).astype(np.int64)
+    bx0 = np.floor((minx - gminx) / h).astype(np.int32)
+    bx1 = np.floor((maxx - gminx) / h).astype(np.int32)
+    by0 = np.floor((miny - gminy) / h).astype(np.int32)
+    by1 = np.floor((maxy - gminy) / h).astype(np.int32)
     ncols = int(bx1.max()) + 1
 
     # explode each segment to its covered buckets (AABB span); segment AABBs
     # are at most a few buckets wide because h tracks the median extent
-    counts = (bx1 - bx0 + 1) * (by1 - by0 + 1)
+    counts = (bx1 - bx0 + 1).astype(np.int64) * (by1 - by0 + 1)
     seg_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
     # per-exploded-row local bucket offset
     total = int(counts.sum())
-    local = np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
-    w = np.repeat(bx1 - bx0 + 1, counts)
+    local = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    w = np.repeat((bx1 - bx0 + 1).astype(np.int64), counts)
     dxb = local % w
     dyb = local // w
-    bucket = (np.repeat(by0, counts) + dyb) * ncols + (np.repeat(bx0, counts) + dxb)
+    bucket = (np.repeat(by0.astype(np.int64), counts) + dyb) * ncols + (
+        np.repeat(bx0.astype(np.int64), counts) + dxb
+    )
+    if total < (1 << 31) and (int(by1.max()) + 1) * ncols < (1 << 31):
+        bucket = bucket.astype(np.int32)  # int32 quicksort is ~2x faster
 
     # single-key sort: ordering WITHIN a bucket is irrelevant (pairs are
     # deduped by integer key below), so the two-key lexsort is overkill
@@ -85,22 +93,23 @@ def _candidate_pairs(x0, y0, x1, y1) -> tuple[np.ndarray, np.ndarray]:
     b_idx = a_idx + b_off
     i = seg_ids[a_idx]
     j = seg_ids[b_idx]
-    lo = np.minimum(i, j)
-    hi = np.maximum(i, j)
-    # dedup via a single int key (1-D unique on ints is ~10x faster than
-    # the void-view sort of np.unique(..., axis=0))
-    key = lo * np.int64(n) + hi
-    uk = np.unique(key)
-    i = uk // n
-    j = uk % n
-    # exact AABB filter (closed intervals, like rstar's envelope intersection)
+    # exact AABB filter BEFORE the dedup sort (closed intervals, like
+    # rstar's envelope intersection) — shrinks the unique() input ~3x
     ok = (
         (minx[i] <= maxx[j])
         & (maxx[i] >= minx[j])
         & (miny[i] <= maxy[j])
         & (maxy[i] >= miny[j])
     )
-    return i[ok], j[ok]
+    i = i[ok]
+    j = j[ok]
+    lo = np.minimum(i, j)
+    hi = np.maximum(i, j)
+    # dedup via a single int key (1-D unique on ints is ~10x faster than
+    # the void-view sort of np.unique(..., axis=0))
+    key = lo * np.int64(n) + hi
+    uk = np.unique(key)
+    return uk // n, uk % n
 
 
 class SnapNoder:

@@ -285,12 +285,24 @@ def segments_table(lines: list[np.ndarray]) -> pa.Table:
 
 
 def linework_table(lines: list[np.ndarray], plane_id: str = "plane-0") -> pa.Table:
-    """LineStrings as an Arrow list-typed linework table (SURVEY.md §1.3)."""
+    """LineStrings as an Arrow list-typed linework table (SURVEY.md §1.3).
+
+    Built from flat buffers + offsets (one concatenate per axis), not
+    per-row Python lists — the tolist() construction was ~22 ms at 200
+    rows, dominating the small-job latency path."""
+    n = len(lines)
+    lens = np.fromiter((len(ls) for ls in lines), dtype=np.int64, count=n)
+    offs = pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int32))
+    if n:
+        flat = np.concatenate([np.asarray(ls, dtype=np.float64) for ls in lines])
+        fx, fy = np.ascontiguousarray(flat[:, 0]), np.ascontiguousarray(flat[:, 1])
+    else:
+        fx = fy = np.empty(0, dtype=np.float64)
     return pa.table(
         {
-            "plane_id": pa.array([plane_id] * len(lines), pa.string()),
-            "line_id": pa.array(range(len(lines)), pa.int64()),
-            "xs": pa.array([ls[:, 0].tolist() for ls in lines], pa.list_(pa.float64())),
-            "ys": pa.array([ls[:, 1].tolist() for ls in lines], pa.list_(pa.float64())),
+            "plane_id": pa.array([plane_id] * n, pa.string()),
+            "line_id": pa.array(range(n), pa.int64()),
+            "xs": pa.ListArray.from_arrays(offs, pa.array(fx, pa.float64())),
+            "ys": pa.ListArray.from_arrays(offs, pa.array(fy, pa.float64())),
         }
     )

@@ -257,6 +257,18 @@ class TilePolygonizer:
 
     def _polygonize_tile_table(self, lines: list[np.ndarray], tile_id: int) -> pa.Table:
         """One tile -> Arrow polygons (flat assembly, no per-poly Python)."""
+        if self.node_input:
+            lines = dedup_linestrings(lines)
+        x0, y0, x1, y1 = explode_to_segments(lines)
+        return self._polygonize_raw_segments(x0, y0, x1, y1, tile_id)
+
+    def _polygonize_raw_segments(
+        self, x0: np.ndarray, y0: np.ndarray, x1: np.ndarray, y1: np.ndarray, tile_id: int
+    ) -> pa.Table:
+        """Segment-array entry (the in-process fast path explodes straight
+        from the Arrow list offsets and skips the per-linestring np.stack).
+        Identical semantics to the lines entry: duplicate input lines yield
+        duplicate segments, which the noder's canonicalize+dedup removes."""
         if self.ownership and self.assigner is not None:
             # salted assigners key groups by leaf id; plain ones by tile id
             if hasattr(self.assigner, "leaf_rect"):
@@ -266,8 +278,6 @@ class TilePolygonizer:
         else:
             owner_rect = None
         if self.node_input:
-            lines = dedup_linestrings(lines)
-            x0, y0, x1, y1 = explode_to_segments(lines)
             if owner_rect is not None:
                 # clip duplicated full-length lines to the buffered window so
                 # per-tile work is bounded by the LOCAL extent (faces fully
@@ -284,8 +294,6 @@ class TilePolygonizer:
                 x0, y0, x1, y1 = clip_segments_to_rect(x0, y0, x1, y1, window)
             noder = SnapNoder(self.snap_grid_size, self.max_noding_iters)
             x0, y0, x1, y1 = noder.node(x0, y0, x1, y1)
-        else:
-            x0, y0, x1, y1 = explode_to_segments(lines)
         fx, fy, offs = trace_rings(x0, y0, x1, y1)
         flat = assemble_flat(fx, fy, offs, owner_rect=owner_rect)
         return flat_to_table(flat, tile_id)
