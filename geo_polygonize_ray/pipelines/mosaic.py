@@ -290,6 +290,7 @@ def mosaic_polygonize(
     w = int(wcol[0])
     h = int(hcol[0])
     bbox = (0.0, 0.0, float(n_cols * w), float(n_rows * h))
+    default_cfg = cfg is None
     cfg = cfg or PipelineConfig(tile_size=float(w), tile_buffer=float(min(w, h)))
 
     ds = rd.read_parquet(image_table_path)
@@ -305,10 +306,14 @@ def mosaic_polygonize(
     import os
     import tempfile
 
+    import ray
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
     spill = spill_dir or tempfile.mkdtemp(prefix="gpr_mosaic_")
     ds.map_batches(
         MosaicVectorizer, fn_constructor_kwargs=dict(n_cols=n_cols, n_rows=n_rows),
-        batch_format="pyarrow", batch_size=16, concurrency=2, num_cpus=1,
+        batch_format="pyarrow", batch_size=16,
+        concurrency=(2, max(2, min(16, n_cpus // 2))), num_cpus=1,
     ).write_parquet(spill)
     files = sorted(_glob.glob(os.path.join(spill, "*.parquet")))
     if not files:
@@ -317,34 +322,52 @@ def mosaic_polygonize(
             f"for a {meta.num_rows}-image table — checkpoint failed"
         )
     mixed = rd.read_parquet(files)
-
     lines = mixed.filter(expr="kind == 'line'").select_columns(["xs", "ys"])
-    strips = mixed.filter(expr="kind == 'strip'")
 
-    def add_seam_bucket(t: pa.Table) -> pa.Table:
-        k = t["seam_key"].to_numpy().astype(np.uint64)
-        b = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(_SEAM_BUCKETS)
-        return t.append_column("_bucket", pa.array(b.astype(np.int64)))
-
-    # seam join: ONE shuffle on a low-cardinality bucket of seam keys (the
-    # per-GROUP map_groups overhead made per-seam groups the wrong unit),
-    # then every seam in the bucket is compared vectorized, Arrow-native
-    seam_lines = (
-        strips.map_batches(add_seam_bucket, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(
-            lambda g: _seam_bucket_segments(g.drop_columns(["_bucket"])),
-            batch_format="pyarrow",
+    # seam join.  The strip payload is BOUNDED BY CONSTRUCTION at
+    # ~4 strips/image x max(w,h) int64 colors, known before running — for
+    # small/medium mosaics the whole join is one vectorized call on the
+    # driver over the checkpoint (a Ray groupby costs ~2 s of fixed Sort
+    # overhead, dwarfing sub-MB data; same small-side policy as
+    # local_fastpath_rows).  Past the threshold it runs as ONE bucketed
+    # groupby shuffle with every seam of a bucket compared vectorized.
+    est_strip_bytes = 4 * n_cols * n_rows * max(w, h) * 8
+    if est_strip_bytes <= (32 << 20):
+        strip_t = pq.read_table(
+            files,
+            filters=[("kind", "==", "strip")],
+            columns=["seam_key", "side", "colors", "xs", "ys"],
         )
-    )
+        seam_lines = rd.from_arrow(_seam_bucket_segments(strip_t))
+    else:
+        strips = mixed.filter(expr="kind == 'strip'")
+
+        def add_seam_bucket(t: pa.Table) -> pa.Table:
+            k = t["seam_key"].to_numpy().astype(np.uint64)
+            b = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(
+                _SEAM_BUCKETS
+            )
+            return t.append_column("_bucket", pa.array(b.astype(np.int64)))
+
+        seam_lines = (
+            strips.map_batches(add_seam_bucket, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(
+                lambda g: _seam_bucket_segments(g.drop_columns(["_bucket"])),
+                batch_format="pyarrow",
+            )
+        )
     linework = lines.union(seam_lines)
-    # salting histogram off the CHECKPOINTED interior linework (the dominant
-    # share of segments) instead of polygonize_dataset's default pre-pass,
-    # which would re-execute the seam groupby a second time (round-3 ADVICE)
+    # Salting: with the DEFAULT config (tile == image size) every shuffle
+    # group is bounded by construction (one image's boundary pixels), so the
+    # histogram pre-pass is pure overhead and is skipped.  A caller-supplied
+    # config can make tiles arbitrarily large relative to images, so there
+    # the histogram runs — off the CHECKPOINTED interior linework, never
+    # re-executing the seam join (round-3 ADVICE).
     from geo_polygonize_ray.pipelines.polygonize import compute_hot_tiles
 
     hot: dict[int, int] = {}
-    if cfg.salt_threshold is None or cfg.salt_threshold > 0:
+    if not default_cfg and (cfg.salt_threshold is None or cfg.salt_threshold > 0):
         hot = compute_hot_tiles(lines, bbox, cfg)
     return polygonize_dataset(linework, cfg, bbox=bbox, hot=hot)
 
