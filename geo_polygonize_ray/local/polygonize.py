@@ -445,14 +445,27 @@ def assemble_flat(
     safe = np.where(residual != 0.0, residual, 1.0)
     s_cx = np.where(residual != 0.0, m_x / safe, cx_all[shells])
     s_cy = np.where(residual != 0.0, m_y / safe, cy_all[shells])
+    # OWNERSHIP anchor = the SHELL ring centroid, not the hole-inclusive
+    # centroid above.  The min-area hole-assignment rule can attach a ring
+    # that is not geometrically inside the shell (pinned reference
+    # semantics), making the hole-inclusive point land arbitrarily far
+    # outside the shell bbox — outside EVERY tile, so no tile owns the
+    # polygon and it silently vanishes from distributed output (found on
+    # the 1024-image mosaic: net area 104 with an 836/732 shell/"hole"
+    # pair put the anchor at x=-94).  The shell ring centroid lies in the
+    # ring's convex hull (inside the traced window by the buffer contract)
+    # and is bit-deterministic across tiles because rings always start at
+    # their canonical minimal edge.  Emitted cx/cy keep geo parity.
+    own_cx = cx_all[shells]
+    own_cy = cy_all[shells]
     if owner_rect is not None:
         tx0, ty0, tx1, ty1 = owner_rect
-        owned = (s_cx >= tx0) & (s_cx < tx1) & (s_cy >= ty0) & (s_cy < ty1)
+        owned = (own_cx >= tx0) & (own_cx < tx1) & (own_cy >= ty0) & (own_cy < ty1)
         if with_unowned:
             un = np.flatnonzero(keep & ~owned)
             un_rids = shells[un]
-            empty["unowned_cx"] = s_cx[un]
-            empty["unowned_cy"] = s_cy[un]
+            empty["unowned_cx"] = own_cx[un]
+            empty["unowned_cy"] = own_cy[un]
             empty["unowned_bbox"] = np.stack(
                 [r_minx[un_rids], r_miny[un_rids], r_maxx[un_rids], r_maxy[un_rids]], axis=1
             )

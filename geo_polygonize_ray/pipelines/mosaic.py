@@ -28,7 +28,6 @@ import pyarrow as pa
 import ray.data as rd
 
 from geo_polygonize_ray.config import PipelineConfig
-from geo_polygonize_ray.pipelines.polygonize import polygonize_dataset
 from geo_polygonize_ray.raster.codec import decode_image
 from geo_polygonize_ray.raster.vectorize import labels_to_linework, rgb_to_labels
 
@@ -257,21 +256,30 @@ def _seam_bucket_segments(group: pa.Table) -> pa.Table:
 _SEAM_BUCKETS = 64
 
 
+_MOSAIC_LOCAL_ROWS = 2_000_000
+
+
 def mosaic_polygonize(
     image_table_path: str,
     n_cols: int,
     n_rows: int,
     cfg: PipelineConfig | None = None,
     spill_dir: str | None = None,
+    local_rows_threshold: int | None = None,
 ) -> rd.Dataset:
     """image table -> global mosaic linework (interior + seam join) ->
-    distributed tiled polygonize -> polygons Dataset (may span images).
+    exact polygonize -> polygons Dataset (may span images).
 
     ``spill_dir``: directory for the linework checkpoint.  It must OUTLIVE
     the returned (lazy) Dataset — consume the result before deleting it.
     When None a fresh ``tempfile.mkdtemp`` directory is used and is NOT
     cleaned up by this function (round-3 ADVICE, mosaic.py:229); pass an
     owned directory to control the lifetime.
+
+    ``local_rows_threshold``: max checkpointed linework rows for the
+    driver-local exact polygonize (default ``_MOSAIC_LOCAL_ROWS``); larger
+    inputs use the distributed adaptive-escalation path.  Tests force the
+    distributed branch with 0.
     """
     import pyarrow.parquet as pq
 
@@ -290,7 +298,6 @@ def mosaic_polygonize(
     w = int(wcol[0])
     h = int(hcol[0])
     bbox = (0.0, 0.0, float(n_cols * w), float(n_rows * h))
-    default_cfg = cfg is None
     cfg = cfg or PipelineConfig(tile_size=float(w), tile_buffer=float(min(w, h)))
 
     ds = rd.read_parquet(image_table_path)
@@ -306,14 +313,12 @@ def mosaic_polygonize(
     import os
     import tempfile
 
-    import ray
-
-    n_cpus = int(ray.cluster_resources().get("CPU", 8))
     spill = spill_dir or tempfile.mkdtemp(prefix="gpr_mosaic_")
+    # stateless TASK pool (instance, not class): construction is two ints,
+    # and tasks reuse the session's warm worker pool instead of paying an
+    # actor-pool spin-up per call (same trade-off as TilePolygonizer)
     ds.map_batches(
-        MosaicVectorizer, fn_constructor_kwargs=dict(n_cols=n_cols, n_rows=n_rows),
-        batch_format="pyarrow", batch_size=16,
-        concurrency=(2, max(2, min(16, n_cpus // 2))), num_cpus=1,
+        MosaicVectorizer(n_cols, n_rows), batch_format="pyarrow", batch_size=16
     ).write_parquet(spill)
     files = sorted(_glob.glob(os.path.join(spill, "*.parquet")))
     if not files:
@@ -321,17 +326,48 @@ def mosaic_polygonize(
             f"mosaic_polygonize: vectorizer wrote no parquet under {spill!r} "
             f"for a {meta.num_rows}-image table — checkpoint failed"
         )
+    # Polygonize.  A mosaic's merged same-color regions can be ARBITRARILY
+    # large (a connected background region spans the whole mosaic), so a
+    # fixed-buffer tiled run violates the ownership contract no matter the
+    # buffer — measured on the 1024-image table: plain tiled emitted
+    # window-rim fragments of the giant background face and lost real big
+    # faces.  Exact options, chosen by linework size:
+    #   * the linework is O(label-boundary pixels) — tiny next to the
+    #     images (19.6k segment rows for 1024 64px tiles).  Below an
+    #     explicit row threshold the EXACT in-process polygonizer runs on
+    #     the driver (~0.06 s at 1024 tiles; same small-side policy as
+    #     PipelineConfig.local_fastpath_rows) — the distributed heavy
+    #     lifting (decode/vectorize) already happened in the actor stage,
+    #     and the seam join is one vectorized driver call (a Ray groupby
+    #     costs ~2 s of fixed Sort overhead, dwarfing sub-MB strips).
+    #   * above it, the adaptive buffer-escalation path
+    #     (polygonize_dataset_adaptive) — exact for faces larger than any
+    #     buffer via its final global round — with the seam join as ONE
+    #     bucketed groupby shuffle, every seam of a bucket compared
+    #     vectorized.
+    if local_rows_threshold is None:
+        local_rows_threshold = _MOSAIC_LOCAL_ROWS
+    n_linework_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    est_strip_bytes = 4 * n_cols * n_rows * max(w, h) * 8
+    if n_linework_rows <= local_rows_threshold and est_strip_bytes <= (32 << 20):
+        from geo_polygonize_ray.pipelines.polygonize import polygonize_table_local
+
+        strip_t = pq.read_table(
+            files,
+            filters=[("kind", "==", "strip")],
+            columns=["seam_key", "side", "colors", "xs", "ys"],
+        )
+        line_t = pq.read_table(files, filters=[("kind", "==", "line")], columns=["xs", "ys"])
+        allt = pa.concat_tables([line_t.select(["xs", "ys"]), _seam_bucket_segments(strip_t)])
+        local_cfg = PipelineConfig(
+            node_input=True,
+            snap_grid_size=cfg.snap_grid_size,
+            max_noding_iters=cfg.max_noding_iters,
+        )
+        return rd.from_arrow(polygonize_table_local(allt, local_cfg))
+
     mixed = rd.read_parquet(files)
     lines = mixed.filter(expr="kind == 'line'").select_columns(["xs", "ys"])
-
-    # seam join.  The strip payload is BOUNDED BY CONSTRUCTION at
-    # ~4 strips/image x max(w,h) int64 colors, known before running — for
-    # small/medium mosaics the whole join is one vectorized call on the
-    # driver over the checkpoint (a Ray groupby costs ~2 s of fixed Sort
-    # overhead, dwarfing sub-MB data; same small-side policy as
-    # local_fastpath_rows).  Past the threshold it runs as ONE bucketed
-    # groupby shuffle with every seam of a bucket compared vectorized.
-    est_strip_bytes = 4 * n_cols * n_rows * max(w, h) * 8
     if est_strip_bytes <= (32 << 20):
         strip_t = pq.read_table(
             files,
@@ -357,19 +393,12 @@ def mosaic_polygonize(
                 batch_format="pyarrow",
             )
         )
-    linework = lines.union(seam_lines)
-    # Salting: with the DEFAULT config (tile == image size) every shuffle
-    # group is bounded by construction (one image's boundary pixels), so the
-    # histogram pre-pass is pure overhead and is skipped.  A caller-supplied
-    # config can make tiles arbitrarily large relative to images, so there
-    # the histogram runs — off the CHECKPOINTED interior linework, never
-    # re-executing the seam join (round-3 ADVICE).
-    from geo_polygonize_ray.pipelines.polygonize import compute_hot_tiles
+    from geo_polygonize_ray.stages.stitch import polygonize_dataset_adaptive
 
-    hot: dict[int, int] = {}
-    if not default_cfg and (cfg.salt_threshold is None or cfg.salt_threshold > 0):
-        hot = compute_hot_tiles(lines, bbox, cfg)
-    return polygonize_dataset(linework, cfg, bbox=bbox, hot=hot)
+    linework = lines.union(seam_lines)
+    return polygonize_dataset_adaptive(
+        linework, cfg, bbox=bbox, spill_dir=os.path.join(spill, "stitch")
+    )
 
 
 def assemble_mosaic_labels(image_table_path: str, n_cols: int, n_rows: int) -> np.ndarray:

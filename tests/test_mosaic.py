@@ -16,8 +16,11 @@ from geo_polygonize_ray.sources.fixtures import cached_image_table
 
 @pytest.mark.usefixtures("ray_session")
 class TestMosaic:
-    @pytest.mark.parametrize("n_cols,n_rows", [(3, 2), (2, 2)])
-    def test_mosaic_equals_global(self, n_cols, n_rows):
+    @pytest.mark.parametrize(
+        "n_cols,n_rows,threshold",
+        [(3, 2, None), (2, 2, None), (3, 2, 0)],  # threshold=0 forces distributed
+    )
+    def test_mosaic_equals_global(self, n_cols, n_rows, threshold):
         n = n_cols * n_rows
         path = cached_image_table(n)
 
@@ -27,9 +30,29 @@ class TestMosaic:
         truth = polygonize_segments(gx0, gy0, gx1, gy1)
         truth_areas = sorted(round(p.area, 6) for p in truth)
 
-        out = mosaic_polygonize(path, n_cols, n_rows).to_pandas()
+        out = mosaic_polygonize(
+            path, n_cols, n_rows, local_rows_threshold=threshold
+        ).to_pandas()
         got_areas = sorted(round(a, 6) for a in out["area"])
         assert got_areas == truth_areas
+        assert sorted(out["n_holes"]) == sorted(len(p.holes_x) for p in truth)
+
+    def test_mosaic_16x16_equals_global(self):
+        """Round-4 regression: at 256+ images the mosaic grows merged
+        regions far larger than any fixed tile buffer (the background face
+        spans the whole mosaic) AND polygons whose min-area-assigned hole
+        drags the hole-inclusive centroid outside every tile.  Both killed
+        polygons in round-3's fixed-buffer mosaic path; the exact pipeline
+        must match the assembled-mosaic ground truth."""
+        n_cols = n_rows = 16
+        path = cached_image_table(n_cols * n_rows)
+        big = assemble_mosaic_labels(path, n_cols, n_rows)
+        gx0, gy0, gx1, gy1 = labels_to_linework(big)
+        truth = polygonize_segments(gx0, gy0, gx1, gy1)
+        out = mosaic_polygonize(path, n_cols, n_rows).to_pandas()
+        assert sorted(round(a, 6) for a in out["area"]) == sorted(
+            round(p.area, 6) for p in truth
+        )
         assert sorted(out["n_holes"]) == sorted(len(p.holes_x) for p in truth)
 
     def test_regions_span_images(self):
