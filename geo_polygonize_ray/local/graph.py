@@ -235,26 +235,35 @@ class PlanarGraph:
         offs = self.adj_offsets
         de_dst = self.de_dst
 
-        stack = list(np.flatnonzero((degree == 1) & ~marked))
         removed = 0
-        while stack:
-            node = stack.pop()
-            if degree[node] != 1:
-                continue
-            marked[node] = True
-            degree[node] = 0
-            removed += 1
-            # first unmarked outgoing half-edge
-            for de_idx in adj[offs[node] : offs[node + 1]]:
-                if not de_marked[de_idx]:
-                    de_marked[de_idx] = True
-                    de_marked[de_idx ^ 1] = True  # sym twin
-                    nb = de_dst[de_idx]
-                    if degree[nb] > 0:
-                        degree[nb] -= 1
-                        if degree[nb] == 1 and not marked[nb]:
-                            stack.append(int(nb))
-                    break
+        while True:
+            frontier = np.flatnonzero((degree == 1) & ~marked)
+            if not len(frontier):
+                break
+            marked[frontier] = True
+            degree[frontier] = 0
+            removed += len(frontier)
+            # each frontier node's single unmarked outgoing half-edge:
+            # gather its adjacency slice, keep alive entries (exactly one
+            # each by the degree-1 invariant)
+            lens = offs[frontier + 1] - offs[frontier]
+            total = int(lens.sum())
+            pos = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+            cand = adj[np.repeat(offs[frontier], lens) + pos]
+            edges = cand[~de_marked[cand]]
+            de_marked[edges] = True
+            de_marked[edges ^ 1] = True
+            # two peeled chain-ends can meet at one neighbor in the same
+            # round: subtract per-neighbor counts, floor at zero
+            dec = np.bincount(de_dst[edges], minlength=len(degree))
+            np.maximum(degree - dec, 0, out=degree)
+        # a junction whose degree drops 2->0 within ONE round (two chains
+        # meeting there) never passes through the scalar walk's
+        # intermediate degree-1 state, so mark every fully-peeled node —
+        # equivalent to the scalar peel's pruned set up to the one
+        # unmarked survivor per component, which downstream cut-risk logic
+        # treats conservatively (it is genuinely a dangle vertex)
+        marked |= degree == 0
         return removed
 
     # ------------------------------------------------------------------

@@ -370,6 +370,15 @@ class SnapNoder:
         return _canonicalize_dedup(nx0, ny0, nx1, ny1, new)
 
 
+def _float_sort_key(x: np.ndarray) -> np.ndarray:
+    """Order-preserving uint64 view of float64 (-0.0 normalized to +0.0, no
+    NaNs expected): negative floats get bit-complemented, positives get the
+    sign bit set — total order identical to float comparison."""
+    b = (x + 0.0).view(np.uint64)
+    neg = (b >> np.uint64(63)).astype(bool)
+    return np.where(neg, ~b, b | np.uint64(0x8000000000000000))
+
+
 def _canonicalize_dedup(nx0, ny0, nx1, ny1, flag=None):
     """Canonical direction (start < end lexicographically with the
     reference's 1e-12 x-tolerance, snap.rs:88-95), then sort + dedup
@@ -387,7 +396,21 @@ def _canonicalize_dedup(nx0, ny0, nx1, ny1, flag=None):
     n = len(tx0)
     if n == 0:
         return (tx0, ty0, tx1, ty1) if flag is None else (tx0, ty0, tx1, ty1, flag)
-    order = np.lexsort((ty1, tx1, ty0, tx0))
+    # two-phase sort: QUICKSORT on the order-preserving uint64 bit view of
+    # tx0 (this numpy's stable sort is ~6x quicksort), then an exact
+    # lexsort refinement of equal-tx0 runs on the remaining keys.  Ties
+    # across all four keys are identical segments (they dedup below), so
+    # no stability is needed; the final order equals the old 4-key lexsort.
+    order = np.argsort(_float_sort_key(tx0))
+    k = tx0[order]
+    same = k[1:] == k[:-1]
+    if same.any():
+        in_run = np.concatenate([[False], same]) | np.concatenate([same, [False]])
+        pos = np.flatnonzero(in_run)
+        sub = order[pos]
+        run_id = np.cumsum(np.concatenate([[True], ~same]))[pos]
+        ro = np.lexsort((ty1[sub], tx1[sub], ty0[sub], run_id))
+        order[pos] = sub[ro]
     tx0, ty0, tx1, ty1 = tx0[order], ty0[order], tx1[order], ty1[order]
     keep = np.empty(n, dtype=bool)
     keep[0] = True
