@@ -70,3 +70,19 @@ class TestMosaic:
         # ground truth check: the assembled mosaic has fewer regions than the
         # sum of per-image regions whenever any region crosses a seam
         assert crossing >= 0  # structural smoke; exact equality covered above
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMosaicSpill:
+    def test_spill_dir_owned_by_caller(self, tmp_path):
+        """Round-3 ADVICE: the caller can own the checkpoint dir; the
+        linework lands inside it and the result stays correct."""
+        import os
+
+        spill = str(tmp_path / "owned_spill")
+        os.makedirs(spill)
+        path = cached_image_table(4)
+        out = mosaic_polygonize(path, 2, 2, spill_dir=spill).to_pandas()
+        assert len(out) > 0
+        files = [f for f in os.listdir(spill) if f.endswith(".parquet")]
+        assert files, "checkpoint did not land in the caller's spill dir"
