@@ -185,3 +185,52 @@ class TestSegmentIntersection:
         # q1 on line(P) extended beyond the segment: no intersection
         kind, *_ = self.run((0, 0), (1, 0), (3, 0), (3, 1))
         assert kind[0] == K.NO_INTERSECTION
+
+
+class TestSortKeys:
+    def test_float_sort_key_total_order(self):
+        """_float_sort_key's uint64 view must order exactly like float64
+        (negatives bit-complemented, -0.0 == +0.0, subnormals ordered)."""
+        import numpy as np
+
+        from geo_polygonize_ray.local.noding import _float_sort_key
+
+        rng = np.random.default_rng(7)
+        x = np.concatenate(
+            [rng.normal(0, 1e3, 4000), rng.normal(0, 1e-300, 64), [-0.0, 0.0, 1e-310, -1e-310]]
+        )
+        assert np.array_equal(
+            x[np.argsort(x, kind="stable")], x[np.argsort(_float_sort_key(x), kind="stable")]
+        )
+        assert _float_sort_key(np.array([-0.0]))[0] == _float_sort_key(np.array([0.0]))[0]
+
+    def test_canonicalize_two_phase_matches_lexsort(self):
+        """The quicksort+refinement canonical sort must reproduce the old
+        4-key stable lexsort bit-for-bit (duplicate-heavy soups included)."""
+        import numpy as np
+
+        from geo_polygonize_ray.local.noding import _canonicalize_dedup
+
+        for seed in range(8):
+            r = np.random.default_rng(seed)
+            n = int(r.integers(1, 1500))
+            vals = r.integers(-50, 50, (n, 4)).astype(float) + r.choice([0.0, 0.5], (n, 4))
+            nx0, ny0, nx1, ny1 = vals.T
+            got = _canonicalize_dedup(nx0.copy(), ny0.copy(), nx1.copy(), ny1.copy())
+            swap = (nx0 > nx1) | ((np.abs(nx0 - nx1) < 1e-12) & (ny0 > ny1))
+            tx0 = np.where(swap, nx1, nx0)
+            ty0 = np.where(swap, ny1, ny0)
+            tx1 = np.where(swap, nx0, nx1)
+            ty1 = np.where(swap, ny0, ny1)
+            order = np.lexsort((ty1, tx1, ty0, tx0))
+            tx0, ty0, tx1, ty1 = tx0[order], ty0[order], tx1[order], ty1[order]
+            keep = np.empty(n, bool)
+            keep[0] = True
+            keep[1:] = (
+                (tx0[1:] != tx0[:-1])
+                | (ty0[1:] != ty0[:-1])
+                | (tx1[1:] != tx1[:-1])
+                | (ty1[1:] != ty1[:-1])
+            )
+            for a, b in zip(got, (tx0[keep], ty0[keep], tx1[keep], ty1[keep])):
+                assert np.array_equal(a, b), f"seed {seed}"
