@@ -37,7 +37,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from geo_polygonize_ray.pipelines import ann, geometry, relational, text
+    from geo_polygonize_ray.pipelines import ann, geometry, relational, temporal, text
 
     return {
         # --- relational / generic data processing (SQL-checked) ---
@@ -58,6 +58,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month": relational.q_orders_by_month,
         "supplier_nation": relational.q_supplier_nation,
         "part_type_stats": relational.q_part_type_stats,
+        # --- temporal / window / interval operators (SQL-checked) ---
+        "asof_join_last_order": temporal.q_asof_join_last_order,
+        "user_event_gaps": temporal.q_user_event_gaps,
+        "rolling_revenue_7d": temporal.q_rolling_revenue_7d,
+        "range_join_price_bands": temporal.q_range_join_price_bands,
+        "priority_price_quantiles": temporal.q_priority_price_quantiles,
         # --- text analysis / dedup (SQL-checked where expressible) ---
         "token_counts": text.q_token_counts,
         "doc_stats_by_lang": text.q_doc_stats_by_lang,
@@ -163,7 +169,7 @@ def _q_image_resize(sf_dir: str):
 
 
 def oracle_sql() -> dict[str, str]:
-    from geo_polygonize_ray.pipelines import ann, relational, text
+    from geo_polygonize_ray.pipelines import ann, relational, temporal, text
 
     return {
         "q1_pricing_summary": relational.Q1_SQL,
@@ -183,6 +189,11 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_month": relational.Q_ORDERS_MONTH_SQL,
         "supplier_nation": relational.Q_SUPPLIER_NATION_SQL,
         "part_type_stats": relational.Q_PART_TYPE_SQL,
+        "asof_join_last_order": temporal.Q_ASOF_SQL,
+        "user_event_gaps": temporal.Q_GAPS_SQL,
+        "rolling_revenue_7d": temporal.Q_ROLLING_SQL,
+        "range_join_price_bands": temporal.Q_RANGE_JOIN_SQL,
+        "priority_price_quantiles": temporal.Q_QUANTILES_SQL,
         "token_counts": text.Q_TOKEN_SQL,
         "doc_stats_by_lang": text.Q_DOC_STATS_SQL,
         "top_longest_docs": text.Q_TOP_LONGEST_SQL,
