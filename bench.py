@@ -28,6 +28,25 @@ N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "1024"))
 GRID_N = int(os.environ.get("GRAFT_BENCH_GRID", "1600"))
 
 
+def host_probe_ms() -> float:
+    """Fixed single-core reference workload (seeded 1024x1024 gemm,
+    best-of-3).  The sandbox host has multi-minute noisy-neighbor windows
+    where IDENTICAL code runs 2-10x slower (observed probe range on this
+    box: ~25 ms clean vs ~170 ms in a bad window), so every bench emission
+    carries this number: engine timings should be read RELATIVE to the
+    probe, not as absolutes, when comparing across rounds."""
+    import numpy as np
+
+    a = np.random.default_rng(0).random((1024, 1024))
+    a @ a  # warm BLAS
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a @ a
+        best = min(best, time.perf_counter() - t0)
+    return round(best * 1000, 2)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -222,6 +241,7 @@ def run_bench() -> dict:
         "mosaic_polys": n_mosaic_polys,
         "mosaic_per_image_ms": mosaic_per_image_ms,
         "roundtrip_per_image_ms": roundtrip_per_image_ms,
+        "host_probe_ms": host_probe_ms(),
     }
     ray.shutdown()
     return result
@@ -282,6 +302,7 @@ def run_headline_only() -> dict:
         "polys_plus_tiles": total_polys + n_tiles,
         "polys_plus_tiles_per_sec": round((total_polys + n_tiles) / sec, 1),
         "num_cpus": NUM_CPUS,
+        "host_probe_ms": host_probe_ms(),
     }
 
 
@@ -324,6 +345,10 @@ def run_scaling() -> None:
         f"throughput_{lo}": runs[lo]["polys_plus_tiles_per_sec"],
         f"throughput_{hi}": runs[hi]["polys_plus_tiles_per_sec"],
         "scaling_efficiency": round((runs[lo]["value"] / runs[hi]["value"]) / (hi / lo), 3),
+        # per-leg host-window probe (see host_probe_ms): a leg whose probe
+        # is 2x the other's ran in a slow window — read efficiency with that
+        f"host_probe_ms_{lo}": runs[lo].get("host_probe_ms"),
+        f"host_probe_ms_{hi}": runs[hi].get("host_probe_ms"),
     }
     if os.environ.get("GRAFT_SCALE_SECOND", "1") != "0" and (lo, hi) in ((1, 4), (2, 8)):
         # corroborating 4 vs 16 leg (round-2 judge item)
