@@ -37,7 +37,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from geo_polygonize_ray.pipelines import ann, geometry, relational, temporal, text
+    from geo_polygonize_ray.pipelines import (
+        ann,
+        curation,
+        geometry,
+        relational,
+        temporal,
+        text,
+    )
 
     return {
         # --- relational / generic data processing (SQL-checked) ---
@@ -77,6 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": text.minhash_lsh_pairs,
         "minhash_dedup_groups": text.minhash_dedup_groups,
         "ngram_jaccard_pairs": text.ngram_jaccard_pairs,
+        # --- curation: deterministic sampling (SQL-checked) + packing ---
+        "stratified_sample_docs": curation.q_stratified_sample_docs,
+        "pack_documents": curation.q_pack_documents,
         # --- similarity search (brute-force SQL-checked; IVF rows-only) ---
         "ann_topk": ann.q_ann_topk,
         "ann_ivf": ann.q_ann_ivf,
@@ -169,7 +179,7 @@ def _q_image_resize(sf_dir: str):
 
 
 def oracle_sql() -> dict[str, str]:
-    from geo_polygonize_ray.pipelines import ann, relational, temporal, text
+    from geo_polygonize_ray.pipelines import ann, curation, relational, temporal, text
 
     return {
         "q1_pricing_summary": relational.Q1_SQL,
@@ -198,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats_by_lang": text.Q_DOC_STATS_SQL,
         "top_longest_docs": text.Q_TOP_LONGEST_SQL,
         "exact_dedup": text.Q_EXACT_DEDUP_SQL,
+        "stratified_sample_docs": curation.Q_STRATIFIED_SQL,
         "ann_topk": ann.Q_ANN_SQL_TEMPLATE.format(qid=0, k=10),
         "embedding_stats": ann.Q_EMB_STATS_SQL,
     }
