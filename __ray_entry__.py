@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": text.ngram_jaccard_pairs,
         # --- curation: deterministic sampling (SQL-checked) + packing ---
         "stratified_sample_docs": curation.q_stratified_sample_docs,
+        "mixture_sample_sources": curation.q_mixture_sample_sources,
         "pack_documents": curation.q_pack_documents,
         # --- similarity search (brute-force SQL-checked; IVF rows-only) ---
         "ann_topk": ann.q_ann_topk,
@@ -209,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "top_longest_docs": text.Q_TOP_LONGEST_SQL,
         "exact_dedup": text.Q_EXACT_DEDUP_SQL,
         "stratified_sample_docs": curation.Q_STRATIFIED_SQL,
+        "mixture_sample_sources": curation.Q_MIXTURE_SQL,
         "ann_topk": ann.Q_ANN_SQL_TEMPLATE.format(qid=0, k=10),
         "embedding_stats": ann.Q_EMB_STATS_SQL,
     }

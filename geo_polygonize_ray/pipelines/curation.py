@@ -41,6 +41,60 @@ ORDER BY lang, doc_id
 """
 
 
+def q_mixture_sample_sources(sf_dir: str) -> pd.DataFrame:
+    """Weighted mixture subsampling — re-weight a multi-source corpus to
+    target per-source keep rates (the "mix 25% of even sources, 75% of odd
+    sources" step of training-data assembly) by a deterministic hash
+    threshold on the doc id: keep iff ``sample_hash(doc_id) % 10000 <
+    rate_bp(source)``.  Membership is pure integer arithmetic, so the SQL
+    oracle reproduces the EXACT subsample; the returned per-source count +
+    id-sum checksum pins membership without shipping the rows.  Stateless
+    map-side filter + partial aggregation: zero shuffle beyond the tiny
+    per-source partials."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from geo_polygonize_ray.functions.agg import bucketed_groupby
+    from geo_polygonize_ray.functions.sample import _KNUTH, _RING
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "doc_id"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        src_idx = pc.cast(pc.utf8_slice_codeunits(batch["source"], 3, 64), pa.int64())
+        rate_bp = 2500 + 5000 * (src_idx.to_numpy(zero_copy_only=False) % 2)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ids * _KNUTH) % _RING % 10000 < rate_bp
+        df = pd.DataFrame(
+            {"source": batch["source"].to_numpy(zero_copy_only=False)[keep], "doc_id": ids[keep]}
+        )
+        return df.groupby("source", as_index=False).agg(
+            n_kept=("doc_id", "size"), id_sum=("doc_id", "sum")
+        )
+
+    out = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "source",
+        lambda g: g.groupby("source", as_index=False).agg(
+            n_kept=("n_kept", "sum"), id_sum=("id_sum", "sum")
+        ),
+    ).to_pandas()
+    out["n_kept"] = out["n_kept"].astype(np.int64)
+    out["id_sum"] = out["id_sum"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q_MIXTURE_SQL = """
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM (
+  SELECT source, doc_id,
+         2500 + 5000 * (CAST(SUBSTR(source, 4) AS BIGINT) % 2) AS rate_bp
+  FROM documents
+)
+WHERE (doc_id * 2654435761) % 4294967296 % 10000 < rate_bp
+GROUP BY source ORDER BY source
+"""
+
+
 def q_pack_documents(sf_dir: str) -> pd.DataFrame:
     """Greedy next-fit packing of the corpus into {PACK_CAPACITY}-char
     windows (hash-bucketed; deterministic).  Not SQL-expressible (the pack
