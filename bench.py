@@ -47,6 +47,46 @@ def host_probe_ms() -> float:
     return round(best * 1000, 2)
 
 
+def host_probe_mc_ms(n_procs: int = 8) -> float:
+    """Multi-core companion to ``host_probe_ms``: wall time for ``n_procs``
+    PROCESSES each running the same seeded gemm concurrently.  Sibling-VM
+    contention shows up as aggregate core UNAVAILABILITY that the
+    single-core probe cannot see (observed: single-core probe 1.6x slow
+    while 32-worker pipeline rows ran 3-8x slow); the ratio
+    ``mc / single`` >> 1 flags exactly those windows."""
+    child = (
+        "import numpy as np;"
+        "a=np.random.default_rng(0).random((1024,1024));"
+        "[a@a for _ in range(12)]"
+    )
+    t0 = time.perf_counter()
+    procs = [
+        subprocess.Popen([sys.executable, "-c", child], stdout=subprocess.DEVNULL)
+        for _ in range(n_procs)
+    ]
+    for p in procs:
+        p.wait()
+    return round((time.perf_counter() - t0) * 1000, 2)
+
+
+def host_probes() -> dict:
+    """Single-core + multi-core probes, plus the derived effective parallel
+    capacity in 'cores of the current single-core speed':
+    ``n_procs * reps * single / mc``.  On an idle 32-vcpu box this reads
+    ~7-8 (8 children run truly concurrently); readings << n_procs mean the
+    hypervisor is granting only a fraction of the advertised cores — in
+    the worst observed window the 8-process probe fully SERIALIZED
+    (capacity 0.5), which makes every multi-worker pipeline row 3-8x slow
+    while the single-core probe shows only 1.5x."""
+    sc = host_probe_ms()
+    mc = host_probe_mc_ms()
+    return {
+        "host_probe_ms": sc,
+        "host_probe_mc_ms": mc,
+        "host_parallel_capacity": round(8 * 12 * sc / mc, 2),
+    }
+
+
 def run_bench() -> dict:
     import ray
 
@@ -241,7 +281,7 @@ def run_bench() -> dict:
         "mosaic_polys": n_mosaic_polys,
         "mosaic_per_image_ms": mosaic_per_image_ms,
         "roundtrip_per_image_ms": roundtrip_per_image_ms,
-        "host_probe_ms": host_probe_ms(),
+        **host_probes(),
     }
     ray.shutdown()
     return result
@@ -302,7 +342,7 @@ def run_headline_only() -> dict:
         "polys_plus_tiles": total_polys + n_tiles,
         "polys_plus_tiles_per_sec": round((total_polys + n_tiles) / sec, 1),
         "num_cpus": NUM_CPUS,
-        "host_probe_ms": host_probe_ms(),
+        **host_probes(),
     }
 
 
@@ -345,10 +385,13 @@ def run_scaling() -> None:
         f"throughput_{lo}": runs[lo]["polys_plus_tiles_per_sec"],
         f"throughput_{hi}": runs[hi]["polys_plus_tiles_per_sec"],
         "scaling_efficiency": round((runs[lo]["value"] / runs[hi]["value"]) / (hi / lo), 3),
-        # per-leg host-window probe (see host_probe_ms): a leg whose probe
-        # is 2x the other's ran in a slow window — read efficiency with that
+        # per-leg host-window probes (see host_probes): a leg whose probe is
+        # 2x the other's, or whose parallel capacity collapsed, ran in a bad
+        # window — read the efficiency number with that in mind
         f"host_probe_ms_{lo}": runs[lo].get("host_probe_ms"),
         f"host_probe_ms_{hi}": runs[hi].get("host_probe_ms"),
+        f"host_parallel_capacity_{lo}": runs[lo].get("host_parallel_capacity"),
+        f"host_parallel_capacity_{hi}": runs[hi].get("host_parallel_capacity"),
     }
     if os.environ.get("GRAFT_SCALE_SECOND", "1") != "0" and (lo, hi) in ((1, 4), (2, 8)):
         # corroborating 4 vs 16 leg (round-2 judge item)
