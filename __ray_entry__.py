@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month": relational.q_orders_by_month,
         "supplier_nation": relational.q_supplier_nation,
         "part_type_stats": relational.q_part_type_stats,
+        "returnflag_rollup": relational.q_returnflag_rollup,
+        "key_set_ops": relational.q_key_set_ops,
         # --- temporal / window / interval operators (SQL-checked) ---
         "asof_join_last_order": temporal.q_asof_join_last_order,
         "user_event_gaps": temporal.q_user_event_gaps,
@@ -200,6 +202,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_month": relational.Q_ORDERS_MONTH_SQL,
         "supplier_nation": relational.Q_SUPPLIER_NATION_SQL,
         "part_type_stats": relational.Q_PART_TYPE_SQL,
+        "returnflag_rollup": relational.Q_ROLLUP_SQL,
+        "key_set_ops": relational.Q_SET_OPS_SQL,
         "asof_join_last_order": temporal.Q_ASOF_SQL,
         "user_event_gaps": temporal.Q_GAPS_SQL,
         "rolling_revenue_7d": temporal.Q_ROLLING_SQL,

@@ -737,3 +737,126 @@ SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
        ROUND(SUM(value), 4) AS sum_value, MIN(ts) AS session_start
 FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id
 """
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP: multi-level aggregate from ONE shuffle of finest-level partials
+# ---------------------------------------------------------------------------
+
+
+def q_returnflag_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) — the engine computes
+    ONLY the finest level distributed (map-side partials -> one bucketed
+    groupby); every coarser level (per-flag, grand total) is derived from
+    the finest AGGREGATE, whose size is bounded by key cardinality, not
+    data.  This is the standard rollup plan: one shuffle, no re-scan per
+    level.  Quantity sums are integer-valued doubles -> exact at any
+    summation order."""
+    from geo_polygonize_ray.functions import bucketed_groupby
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            n=("l_quantity", "size"), sum_qty=("l_quantity", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    finest = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["l_returnflag", "l_linestatus"],
+        lambda g: g.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            n=("n", "sum"), sum_qty=("sum_qty", "sum")
+        ),
+    ).to_pandas()
+
+    per_flag = finest.groupby("l_returnflag", as_index=False).agg(
+        n=("n", "sum"), sum_qty=("sum_qty", "sum")
+    )
+    per_flag["l_linestatus"] = None
+    total = pd.DataFrame(
+        {
+            "l_returnflag": [None],
+            "l_linestatus": [None],
+            "n": [finest["n"].sum()],
+            "sum_qty": [finest["sum_qty"].sum()],
+        }
+    )
+    out = pd.concat([finest, per_flag, total], ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_qty"] = r4(out["sum_qty"])
+    return out.sort_values(
+        ["l_returnflag", "l_linestatus"], na_position="first"
+    ).reset_index(drop=True)[["l_returnflag", "l_linestatus", "n", "sum_qty"]]
+
+
+Q_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 4) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# set operators: INTERSECT / EXCEPT as tagged union + presence bits
+# ---------------------------------------------------------------------------
+
+
+def q_key_set_ops(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT / EXCEPT over two large key sets (customers with an order
+    vs customers appearing as event users), distributed as ONE tagged
+    union + bucketed groupby with per-key presence bits — the same
+    one-shuffle shape as the anti-join, generalized to every set op at
+    once.  Output: each key in either set with its membership, filtered to
+    the interesting rows (intersection and both differences), plus which."""
+    from geo_polygonize_ray.functions import bucketed_groupby
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "key": pc.unique(t["o_custkey"]),
+                "side": np.zeros(len(pc.unique(t["o_custkey"])), np.int64),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    events = _read(sf_dir, "events", columns=["user_id"]).map_batches(
+        lambda t: pa.table(
+            {
+                "key": pc.unique(t["user_id"]),
+                "side": np.ones(len(pc.unique(t["user_id"])), np.int64),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        mm = g.groupby("key", as_index=False)["side"].agg(["min", "max"])
+        bits = (mm["min"].to_numpy() == 0).astype(np.int64) | (
+            (mm["max"].to_numpy() == 1).astype(np.int64) << 1
+        )
+        return pd.DataFrame(
+            {
+                "key": mm["key"].to_numpy(),
+                "membership": np.array(["", "orders_only", "events_only", "both"])[bits],
+            }
+        )
+
+    out = bucketed_groupby(orders.union(events), "key", classify).to_pandas()
+    out["key"] = out["key"].astype(np.int64)
+    return out.sort_values(["membership", "key"]).reset_index(drop=True)
+
+
+Q_SET_OPS_SQL = """
+WITH o AS (SELECT DISTINCT o_custkey AS key FROM orders),
+     e AS (SELECT DISTINCT user_id  AS key FROM events)
+SELECT key, 'both' AS membership FROM (SELECT key FROM o INTERSECT SELECT key FROM e)
+UNION ALL
+SELECT key, 'orders_only' FROM (SELECT key FROM o EXCEPT SELECT key FROM e)
+UNION ALL
+SELECT key, 'events_only' FROM (SELECT key FROM e EXCEPT SELECT key FROM o)
+ORDER BY membership, key
+"""
