@@ -97,3 +97,64 @@ class TestDistributedEquivalenceFuzz:
             )
 
         assert sorted(map(key, dist)) == sorted(map(key, local))
+
+
+# ---------------------------------------------------------------------------
+# engine-function properties: packing + exact quantiles
+# ---------------------------------------------------------------------------
+
+from geo_polygonize_ray.functions.packing import pack_bucket_lengths  # noqa: E402
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=100),
+)
+def test_pack_next_fit_properties(lengths, cap):
+    """Any lengths/capacity: pack ids are 0..k consecutive nondecreasing;
+    each window's clipped total fits; packing is greedily maximal (the
+    first item of window i+1 would have overflowed window i)."""
+    lens = np.array(lengths, dtype=np.int64)
+    pid = pack_bucket_lengths(lens, cap)
+    assert pid[0] == 0
+    steps = np.diff(pid)
+    assert ((steps == 0) | (steps == 1)).all()
+    clipped = np.minimum(lens, cap)
+    for k in range(pid.max() + 1):
+        m = pid == k
+        assert m.sum() >= 1
+        assert clipped[m].sum() <= cap or m.sum() == 1
+    starts = np.flatnonzero(np.diff(pid)) + 1
+    for s in starts:  # next-fit maximality at each boundary
+        prev = pid[s] - 1
+        assert clipped[pid == prev].sum() + clipped[s] > cap
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=2,
+        max_size=400,
+    ),
+    st.sampled_from([0.0, 0.1, 0.5, 0.9, 1.0]),
+)
+def test_exact_quantile_matches_order_statistics(vals, q):
+    """Histogram refinement (forced through rounds by a tiny collect_cap)
+    equals direct sorted-order interpolation for arbitrary value sets,
+    including heavy duplicates and q at the extremes."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from geo_polygonize_ray.functions.quantile import exact_group_quantiles
+
+    v = np.array(vals, dtype=np.float64)
+    ds = rd.from_pandas(pd.DataFrame({"k": ["g"] * len(v), "v": v}))
+    out = exact_group_quantiles(ds, "k", "v", qs=(q,), n_bins=4, collect_cap=3)
+    sv = np.sort(v)
+    pos = (len(sv) - 1) * q
+    k_lo, k_hi = int(np.floor(pos)), int(np.ceil(pos))
+    expect = sv[k_lo] + (sv[k_hi] - sv[k_lo]) * (pos - k_lo)
+    assert out.loc[0, f"q{q}"] == expect
