@@ -333,8 +333,11 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
 
 def q_top_orders_per_cust(sf_dir: str, k: int = 3) -> pd.DataFrame:
     """Per-group top-k (ROW_NUMBER window function): the top-3 orders of
-    every customer by total price — partition-wise rank computed inside the
-    hash-bucketed groupby (no global sort; each key's rows rank locally)."""
+    every customer by total price.  Top-k is a MERGEABLE aggregate, so a
+    map-side partial top-k per batch runs before the shuffle — the
+    exchange carries at most ``batches x customers-per-batch x k``
+    candidate rows instead of every order — and the hash-bucketed groupby
+    ranks the surviving candidates per key (no global sort)."""
     from geo_polygonize_ray.functions import bucketed_groupby
 
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
@@ -346,7 +349,17 @@ def q_top_orders_per_cust(sf_dir: str, k: int = 3) -> pd.DataFrame:
         g = g.assign(rk=g.groupby("o_custkey").cumcount() + 1)
         return g[g["rk"] <= k]
 
-    out = bucketed_groupby(ds, "o_custkey", topk).to_pandas()
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        g = batch.to_pandas().sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
+        )
+        return pa.Table.from_pandas(g.groupby("o_custkey").head(k), preserve_index=False)
+
+    out = bucketed_groupby(
+        ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=65536),
+        "o_custkey",
+        topk,
+    ).to_pandas()
     out["rk"] = out["rk"].astype(np.int64)
     out["o_totalprice"] = r4(out["o_totalprice"])
     return (
