@@ -386,10 +386,17 @@ def q_busy_customers(sf_dir: str) -> pd.DataFrame:
     from geo_polygonize_ray.functions import bucketed_groupby
 
     ds = _read(sf_dir, "orders", columns=["o_custkey"])
-    g = bucketed_groupby(
-        ds,
-        "o_custkey",
+    # map-side count partials: the shuffle carries one row per (batch,
+    # customer), not one per order
+    partial = ds.map_batches(
         lambda b: b.groupby("o_custkey", as_index=False).agg(n_orders=("o_custkey", "size")),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+    g = bucketed_groupby(
+        partial,
+        "o_custkey",
+        lambda b: b.groupby("o_custkey", as_index=False).agg(n_orders=("n_orders", "sum")),
     ).to_pandas()
     g = g[g["n_orders"] >= 15].sort_values(["n_orders", "o_custkey"], ascending=[False, True])
     g["n_orders"] = g["n_orders"].astype(np.int64)
@@ -495,11 +502,22 @@ def q_events_user_stats(sf_dir: str) -> pd.DataFrame:
     from geo_polygonize_ray.functions import bucketed_groupby
 
     ds = _read(sf_dir, "events", columns=["user_id", "value"])
-    out = bucketed_groupby(
-        ds,
-        "user_id",
+    # map-side partials (count/sum/max are all mergeable): shuffle carries
+    # per-(batch, user) rows instead of every event
+    partial = ds.map_batches(
         lambda g: g.groupby("user_id", as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum"), max_value=("value", "max")
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+    out = bucketed_groupby(
+        partial,
+        "user_id",
+        lambda g: g.groupby("user_id", as_index=False).agg(
+            n_events=("n_events", "sum"),
+            sum_value=("sum_value", "sum"),
+            max_value=("max_value", "max"),
         ),
     ).to_pandas()
     out["n_events"] = out["n_events"].astype(np.int64)
@@ -625,13 +643,22 @@ def q_part_type_stats(sf_dir: str) -> pd.DataFrame:
     from geo_polygonize_ray.functions import bucketed_groupby
 
     ds = _read(sf_dir, "part", columns=["p_type", "p_retailprice", "p_size"])
-    out = bucketed_groupby(
-        ds,
-        "p_type",
+    partial = ds.map_batches(
         lambda g: g.groupby("p_type", as_index=False).agg(
             n_parts=("p_size", "size"),
             sum_price=("p_retailprice", "sum"),
             max_size=("p_size", "max"),
+        ),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+    out = bucketed_groupby(
+        partial,
+        "p_type",
+        lambda g: g.groupby("p_type", as_index=False).agg(
+            n_parts=("n_parts", "sum"),
+            sum_price=("sum_price", "sum"),
+            max_size=("max_size", "max"),
         ),
     ).to_pandas()
     out["n_parts"] = out["n_parts"].astype(np.int64)
