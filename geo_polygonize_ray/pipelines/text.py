@@ -236,12 +236,27 @@ def q_lang_id(sf_dir: str) -> pd.DataFrame:
 
 def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
     """Exact dedup: content-hash map-side, one groupby(hash), keep min doc_id.
-    Returns the surviving doc_ids (sorted)."""
+    Returns the surviving doc_ids (sorted).
+
+    The content hash is polars' vectorized 64-bit hash (xxhash family) —
+    deterministic for a fixed seed within a run, which is all dedup needs
+    (identical text => identical hash; the surviving-doc_id answer is
+    hash-choice-independent).  A map-side ``min(doc_id) per hash`` partial
+    runs before the shuffle, so the exchange carries one row per DISTINCT
+    content per batch, not one per document.
+    """
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["content_hash"] = [_stable_hash64(t) for t in batch["text"]]
-        return batch[["doc_id", "content_hash"]]
+        import polars as pl
+
+        batch["content_hash"] = (
+            np.ascontiguousarray(pl.from_pandas(batch["text"]).hash(seed=0).to_numpy()).view(
+                np.int64
+            )
+        )
+        # map-side partial: one (hash, min doc_id) row per distinct content
+        return batch.groupby("content_hash", as_index=False).agg(doc_id=("doc_id", "min"))
 
     from geo_polygonize_ray.functions import bucketed_groupby
 
