@@ -213,6 +213,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats_by_lang": text.Q_DOC_STATS_SQL,
         "top_longest_docs": text.Q_TOP_LONGEST_SQL,
         "exact_dedup": text.Q_EXACT_DEDUP_SQL,
+        "quality_scores": text.Q_QUALITY_SQL,
+        "lang_id": text.Q_LANG_SQL,
         "stratified_sample_docs": curation.Q_STRATIFIED_SQL,
         "mixture_sample_sources": curation.Q_MIXTURE_SQL,
         "ann_topk": ann.Q_ANN_SQL_TEMPLATE.format(qid=0, k=10),

@@ -189,8 +189,41 @@ def q_quality_scores(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out = out[["doc_id", "n_tokens", "stopword_ratio", "punct_ratio", "quality_score"]]
     for c in ("stopword_ratio", "punct_ratio", "quality_score"):
-        out[c] = r4(out[c])
+        # half-up at 4 decimals (values are non-negative) — matches DuckDB
+        # ROUND, which otherwise disagrees with numpy's half-even exactly at
+        # the .xxxx5 ties these small rationals land on
+        out[c] = np.floor(out[c].to_numpy() * 1e4 + 0.5) / 1e4
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# SQL twin of QualityScorer (RE2 '\w' == Python re.UNICODE '\w' on the
+# all-ASCII synthetic corpus; clip lower bounds are vacuous — every term
+# is non-negative).  Token = \w+ over lower(text), same as the actor.
+Q_QUALITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '\\w+') AS ws,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         len(ws) AS n_tokens,
+         CASE WHEN len(ws) = 0 THEN 0.0
+              ELSE len(list_filter(ws, w -> list_contains(
+                ['the','a','an','and','or','of','to','in','is','it','for','on',
+                 'with','as','by','at','be','this','that','are','was','from'], w)))
+                * 1.0 / len(ws) END AS stopword_ratio,
+         n_punct * 1.0 / greatest(length(text), 1) AS punct_ratio
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       ROUND(stopword_ratio, 4) AS stopword_ratio,
+       ROUND(punct_ratio, 4) AS punct_ratio,
+       ROUND(0.4 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * least(stopword_ratio * 3.0, 1.0)
+           + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0)), 4) AS quality_score
+FROM feat ORDER BY doc_id
+"""
 
 
 class LangId:
@@ -227,6 +260,38 @@ def q_lang_id(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(LangId, batch_format="pandas", batch_size=1024, concurrency=2).to_pandas()
     out["match"] = out["pred_lang"] == out["lang"]
     return out[["doc_id", "lang", "pred_lang", "match"]].sort_values("doc_id").reset_index(drop=True)
+
+
+# SQL twin of LangId.  The CJK branch is vacuous on the all-ASCII corpus.
+# Python scans markers in dict order (en, es, fr, de) updating only on a
+# STRICTLY greater score, so the winner is the FIRST language attaining the
+# max — the CASE ladder below encodes exactly that tie-break.  Marker sets
+# mirror _LANG_MARKERS verbatim ('für' can never match an ASCII token on
+# either side, kept for parity).
+Q_LANG_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_distinct(regexp_extract_all(lower(text), '\\w+')[1:200]) AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+    len(list_intersect(ws, ['the','and','with','for','that'])) AS s_en,
+    len(list_intersect(ws, ['el','la','los','las','que','de','y','con','por'])) AS s_es,
+    len(list_intersect(ws, ['le','la','les','des','et','que','pour','dans'])) AS s_fr,
+    len(list_intersect(ws, ['der','die','das','und','mit','für','ist','von'])) AS s_de
+  FROM t
+)
+SELECT doc_id, lang,
+  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+       WHEN s_fr >= s_de THEN 'fr'
+       ELSE 'de' END AS pred_lang,
+  (CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+        WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+        WHEN s_fr >= s_de THEN 'fr'
+        ELSE 'de' END) = lang AS match
+FROM s ORDER BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
