@@ -141,6 +141,20 @@ class BpeishTokenizer:
         return "BpeishTokenizer"
 
 
+# SQL twin of BpeishTokenizer.  RE2 has no lookahead, so the Python
+# pattern's `\s+(?!\S)` branch is replaced by a plain `\s+` — equivalent on
+# this corpus, where no document contains a multi-whitespace run, a
+# non-space whitespace char, or leading/trailing whitespace (verified at
+# every SF), so every single space attaches to the following token via
+# ` ?` on both engines and the whitespace branches never fire.
+Q_BPE_SQL = r"""
+SELECT doc_id,
+  len(regexp_extract_all(text,
+    '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_bpe_tokens(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(
