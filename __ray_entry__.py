@@ -216,6 +216,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": text.Q_QUALITY_SQL,
         "lang_id": text.Q_LANG_SQL,
         "bpe_tokens": text.Q_BPE_SQL,
+        "simhash": text.Q_SIMHASH_SQL,
+        "fingerprints": text.Q_FINGERPRINT_SQL,
         "stratified_sample_docs": curation.Q_STRATIFIED_SQL,
         "mixture_sample_sources": curation.Q_MIXTURE_SQL,
         "ann_topk": ann.Q_ANN_SQL_TEMPLATE.format(qid=0, k=10),

@@ -727,7 +727,11 @@ def minhash_dedup_groups(
 
 
 class SimHasher:
-    """64-bit SimHash over word features (weighted by term frequency)."""
+    """64-bit SimHash over word features (weighted by term frequency).
+
+    The per-word feature hash is the first 8 bytes of sha256 (big-endian)
+    — chosen over sha1 so the DuckDB oracle (Q_SIMHASH_SQL) can compute
+    the identical hash with its built-in ``sha256``."""
 
     def __init__(self):
         self.word = _WORD_RE
@@ -737,11 +741,11 @@ class SimHasher:
         if not words:
             return 0
         vals, counts = np.unique(words, return_counts=True)
-        # sha1 per UNIQUE word (identity-preserving); the bit accumulation
+        # sha256 per UNIQUE word (identity-preserving); the bit accumulation
         # is one batched unpackbits + weighted sum instead of a per-word
         # Python loop (round-1 judge note) — byte-identical results
         hs = np.array(
-            [int.from_bytes(hashlib.sha1(w.encode()).digest()[:8], "big") for w in vals],
+            [int.from_bytes(hashlib.sha256(w.encode()).digest()[:8], "big") for w in vals],
             dtype=np.uint64,
         )
         bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1).astype(np.int64)
@@ -759,6 +763,39 @@ class SimHasher:
     @property
     def __name__(self):
         return "SimHasher"
+
+
+# SQL twin of SimHasher.  The word hash is sha256's first 8 bytes
+# (big-endian), computed in DuckDB via hex-prefix cast.  One subtlety: the
+# Python accumulator unpacks the uint64 via its LITTLE-ENDIAN bytes with
+# MSB-first bits per byte, and the final OR shifts by the COLUMN index —
+# so output bit i votes on word-hash VALUE bit 8*(i//8) + 7 - (i%8); the
+# shift below encodes exactly that permutation.  The signed result is the
+# int64 reinterpretation: bit 63 contributes -2^63, so a plain BIGINT sum
+# of distinct-power terms is exact.
+Q_SIMHASH_SQL = r"""
+WITH words AS (
+  SELECT doc_id, w, COUNT(*)::BIGINT AS cnt
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS w FROM documents)
+  GROUP BY doc_id, w
+), hw AS (
+  SELECT doc_id, cnt, CAST(CONCAT('0x', substr(sha256(w), 1, 16)) AS UBIGINT) AS h
+  FROM words
+), votes AS (
+  SELECT doc_id, b.i AS i,
+         SUM(CASE WHEN ((h >> (8 * (b.i // 8) + 7 - (b.i % 8))) & 1) = 1
+                  THEN cnt ELSE -cnt END) AS acc
+  FROM hw CROSS JOIN (SELECT unnest(range(64)) AS i) b
+  GROUP BY doc_id, b.i
+)
+SELECT d.doc_id,
+       SUM(CASE WHEN v.acc > 0 THEN
+             CASE WHEN v.i = 63 THEN -9223372036854775808
+                  ELSE (1::BIGINT << v.i) END
+           ELSE 0 END)::BIGINT AS simhash
+FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
 
 
 def q_simhash(sf_dir: str) -> pd.DataFrame:
@@ -908,6 +945,37 @@ class Fingerprinter:
     @property
     def __name__(self):
         return "Fingerprinter"
+
+
+# SQL twin of Fingerprinter (window=8, BASE=1000003).  The per-window
+# polynomial hash wraps mod 2^64 (numpy uint64 semantics); DuckDB has no
+# wrapping multiply, so each term multiplies the byte by the PRE-WRAPPED
+# constant BASE^(7-i) mod 2^64 in HUGEINT and the 8-term sum (< 2^75) is
+# reduced mod 2^64 — bit-identical to the numpy accumulation.  MIN is over
+# the UNSIGNED value (as in np.min over uint64); the signed output is the
+# int64 reinterpretation.  The Python len<window sha1 fallback is
+# unreachable on this corpus (min doc length 44 chars at every SF).
+Q_FINGERPRINT_SQL = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS p FROM documents
+), h AS (
+  SELECT doc_id,
+    (  ascii(substr(text, p,     1))::HUGEINT * 12924618581234127435::HUGEINT
+     + ascii(substr(text, p + 1, 1))::HUGEINT * 10923514805226455897::HUGEINT
+     + ascii(substr(text, p + 2, 1))::HUGEINT * 14453212906556403763::HUGEINT
+     + ascii(substr(text, p + 3, 1))::HUGEINT * 14003818205314896721::HUGEINT
+     + ascii(substr(text, p + 4, 1))::HUGEINT * 1000009000027000027::HUGEINT
+     + ascii(substr(text, p + 5, 1))::HUGEINT * 1000006000009::HUGEINT
+     + ascii(substr(text, p + 6, 1))::HUGEINT * 1000003::HUGEINT
+     + ascii(substr(text, p + 7, 1))::HUGEINT) % 18446744073709551616::HUGEINT AS hv
+  FROM pos
+)
+SELECT doc_id,
+  CAST(CASE WHEN MIN(hv) >= 9223372036854775808::HUGEINT
+            THEN MIN(hv) - 18446744073709551616::HUGEINT
+            ELSE MIN(hv) END AS BIGINT) AS fingerprint
+FROM h GROUP BY doc_id ORDER BY doc_id
+"""
 
 
 def q_fingerprints(sf_dir: str) -> pd.DataFrame:
