@@ -218,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokens": text.Q_BPE_SQL,
         "simhash": text.Q_SIMHASH_SQL,
         "fingerprints": text.Q_FINGERPRINT_SQL,
+        "ngram_jaccard_pairs": text.Q_NGRAM_JACCARD_SQL,
         "stratified_sample_docs": curation.Q_STRATIFIED_SQL,
         "mixture_sample_sources": curation.Q_MIXTURE_SQL,
         "ann_topk": ann.Q_ANN_SQL_TEMPLATE.format(qid=0, k=10),

@@ -804,6 +804,47 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+# SQL twin of ngram_jaccard_pairs (k=3, threshold=0.35, max_gram_docs=50).
+# The semantics are hash-free — pairs sharing a rare gram (2..50 docs),
+# exact gram-set Jaccard over the FULL sets, threshold on the unrounded
+# value — so the oracle reconstructs them directly from word 3-grams.
+# ``string_split(lower(text), ' ')`` equals Python ``str.split()`` on this
+# corpus (single-space separators only, no edge whitespace); list slices
+# are 1-based inclusive, so ws[i:i+2] is the 3-word window.
+Q_NGRAM_JACCARD_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
+                               FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)])) AS g
+  FROM docs
+), gram_count AS (
+  SELECT g, COUNT(*) AS nd FROM grams GROUP BY g
+), rare AS (
+  SELECT g FROM gram_count WHERE nd BETWEEN 2 AND 50
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM grams a JOIN rare USING (g) JOIN grams b USING (g)
+  WHERE a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, ROUND(ni * 1.0 / (sa.n + sb.n - ni), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.35
+ORDER BY doc_a, doc_b
+"""
+
+
 def ngram_jaccard_pairs(
     sf_dir: str, k: int = 3, threshold: float = 0.35, max_gram_docs: int = 50
 ) -> pd.DataFrame:
