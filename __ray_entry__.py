@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_stats": relational.q_part_type_stats,
         "returnflag_rollup": relational.q_returnflag_rollup,
         "key_set_ops": relational.q_key_set_ops,
+        "bucket_join_revenue": relational.q_bucket_join_revenue,
         # --- temporal / window / interval operators (SQL-checked) ---
         "asof_join_last_order": temporal.q_asof_join_last_order,
         "user_event_gaps": temporal.q_user_event_gaps,
@@ -204,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "part_type_stats": relational.Q_PART_TYPE_SQL,
         "returnflag_rollup": relational.Q_ROLLUP_SQL,
         "key_set_ops": relational.Q_SET_OPS_SQL,
+        "bucket_join_revenue": relational.Q_BUCKET_JOIN_SQL,
         "asof_join_last_order": temporal.Q_ASOF_SQL,
         "user_event_gaps": temporal.Q_GAPS_SQL,
         "rolling_revenue_7d": temporal.Q_ROLLING_SQL,

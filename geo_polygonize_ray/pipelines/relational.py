@@ -900,3 +900,65 @@ UNION ALL
 SELECT key, 'events_only' FROM (SELECT key FROM e EXCEPT SELECT key FROM o)
 ORDER BY membership, key
 """
+
+
+# ---------------------------------------------------------------------------
+# bucketed-layout co-located join (functions/layout.py): the join shuffle
+# is paid ONCE at layout-write time; the join itself is per-bucket local
+# ---------------------------------------------------------------------------
+
+
+def _bucketed_layout(sf_dir: str, table: str, key: str, columns: list[str], n_buckets: int) -> str:
+    """Content-addressed bucketed layout of a test table under /tmp —
+    built once per (table file, columns, n_buckets), atomically published
+    (write_bucketed_parquet), reused by every later join on the key."""
+    import os
+
+    from geo_polygonize_ray.functions.layout import SUCCESS_MARKER, write_bucketed_parquet
+
+    src = f"{sf_dir}/{table}.parquet"
+    tag = f"{table}_{int(os.path.getmtime(src))}_{'_'.join(columns)}_{n_buckets}"
+    path = f"/tmp/gpr_cache/layout_{tag}"
+    if os.path.exists(os.path.join(path, SUCCESS_MARKER)):
+        return path
+    os.makedirs("/tmp/gpr_cache", exist_ok=True)
+    write_bucketed_parquet(_read(sf_dir, table, columns=columns), path, key, n_buckets)
+    return path
+
+
+def q_bucket_join_revenue(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """customer x orders on custkey as a SHUFFLE-FREE co-located join over
+    two bucketed layouts, then per-nation totals.  The per-bucket joiner
+    emits (nation, count, sum) partials — n_buckets x 25 rows — so the
+    final combine is a driver-side pandas groupby over a calendar-bounded
+    frame, not a second exchange."""
+    from geo_polygonize_ray.functions.layout import bucket_join
+
+    lp = _bucketed_layout(sf_dir, "customer", "c_custkey", ["c_custkey", "c_nationkey"], n_buckets)
+    rp = _bucketed_layout(sf_dir, "orders", "o_custkey", ["o_custkey", "o_totalprice"], n_buckets)
+    # the right layout is keyed o_custkey; co-location only needs equal
+    # (n_buckets, hash) and key->bucket agreement, which holds because the
+    # bucket function sees raw int64 key values on both sides
+    joined = bucket_join(
+        lp, rp, left_on="c_custkey", right_on="o_custkey", how="inner"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_nationkey", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), total_price=("o_totalprice", "sum")
+        )
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("c_nationkey", as_index=False).agg(
+        n_orders=("n_orders", "sum"), total_price=("total_price", "sum")
+    )
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["total_price"] = r4(out["total_price"])
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+Q_BUCKET_JOIN_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total_price
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
