@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_rollup": relational.q_returnflag_rollup,
         "key_set_ops": relational.q_key_set_ops,
         "bucket_join_revenue": relational.q_bucket_join_revenue,
+        "bucket_agg_customer_orders": relational.q_bucket_agg_customer_orders,
         # --- temporal / window / interval operators (SQL-checked) ---
         "asof_join_last_order": temporal.q_asof_join_last_order,
         "user_event_gaps": temporal.q_user_event_gaps,
@@ -206,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         "returnflag_rollup": relational.Q_ROLLUP_SQL,
         "key_set_ops": relational.Q_SET_OPS_SQL,
         "bucket_join_revenue": relational.Q_BUCKET_JOIN_SQL,
+        "bucket_agg_customer_orders": relational.Q_BUCKET_AGG_SQL,
         "asof_join_last_order": temporal.Q_ASOF_SQL,
         "user_event_gaps": temporal.Q_GAPS_SQL,
         "rolling_revenue_7d": temporal.Q_ROLLING_SQL,

@@ -184,6 +184,57 @@ class _BucketJoiner:
         return pd.concat(frames, ignore_index=True)
 
 
+class _BucketAggregator:
+    """Per-task exact aggregation over one bucket of a published layout.
+
+    Because the layout hash-partitions by the key, every row of a key is
+    in exactly one bucket — so a per-bucket pandas groupby is EXACT
+    per-key output with no shuffle at all (the exchange was paid once at
+    layout-write time, like the join)."""
+
+    def __init__(self, path: str, per_key_fn, cols: list[str] | None):
+        self.path = path
+        self.per_key_fn = per_key_fn
+        self.cols = cols
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        import glob as _glob
+
+        frames = []
+        for b in batch["bucket"].to_numpy(zero_copy_only=False):
+            files = _bucket_files(self.path, int(b))
+            if not files:
+                # typed empty via the layout schema so Ray can unify blocks
+                any_file = sorted(
+                    _glob.glob(os.path.join(self.path, "_bucket=*", "*.parquet"))
+                )[0]
+                t = pq.read_schema(any_file).empty_table()
+                t = t.select(self.cols) if self.cols else t
+            else:
+                t = pa.concat_tables(pq.read_table(f, columns=self.cols) for f in files)
+            frames.append(self.per_key_fn(t.to_pandas()))
+        return pd.concat(frames, ignore_index=True)
+
+
+def bucket_aggregate(
+    path: str,
+    per_key_fn,
+    cols: list[str] | None = None,
+) -> rd.Dataset:
+    """Shuffle-free exact per-key aggregation over a published bucketed
+    layout: one task per bucket, ``per_key_fn`` (a pandas groupby over the
+    layout key, same contract as ``bucketed_groupby``) runs on each
+    bucket's complete rows."""
+    m = read_layout_manifest(path)
+    n = int(m["n_buckets"])
+    ids = rd.from_items([{"bucket": b} for b in range(n)]).repartition(n)
+    return ids.map_batches(
+        _BucketAggregator(path, per_key_fn, cols), batch_format="pyarrow", batch_size=1
+    )
+
+
 def bucket_join(
     left_path: str,
     right_path: str,

@@ -962,3 +962,29 @@ SELECT c_nationkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total_p
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_nationkey ORDER BY c_nationkey
 """
+
+
+def q_bucket_agg_customer_orders(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """Per-customer order stats as a SHUFFLE-FREE aggregation over the
+    bucketed orders layout (reusing the SAME layout q_bucket_join_revenue
+    builds — one partitioning key amortized across operators): every
+    custkey lives in exactly one bucket, so per-bucket pandas groupbys are
+    exact per-key output with no exchange."""
+    from geo_polygonize_ray.functions.layout import bucket_aggregate
+
+    path = _bucketed_layout(sf_dir, "orders", "o_custkey", ["o_custkey", "o_totalprice"], n_buckets)
+    out = bucket_aggregate(
+        path,
+        lambda df: df.groupby("o_custkey", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), total_price=("o_totalprice", "sum")
+        ),
+    ).to_pandas()
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["total_price"] = r4(out["total_price"])
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+Q_BUCKET_AGG_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total_price
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""

@@ -110,3 +110,31 @@ def test_manifest_pins_hash(tmp_path):
         json.dump(m, f)
     with pytest.raises(ValueError, match="not co-located"):
         bucket_join(p, _mk(str(tmp_path), "m2", df, "k", 4), left_on="k")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucket_aggregate_exact_per_key(tmp_path):
+    from geo_polygonize_ray.functions.layout import bucket_aggregate
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 40, 400).astype(np.int64), "v": rng.random(400)}
+    )
+    p = _mk(str(tmp_path), "agg", df, "k", 16)
+    got = (
+        bucket_aggregate(
+            p, lambda d: d.groupby("k", as_index=False).agg(n=("v", "size"), s=("v", "sum"))
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("k", as_index=False)
+        .agg(n=("v", "size"), s=("v", "sum"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(got["k"], want["k"])
+    assert np.array_equal(got["n"], want["n"])
+    assert np.allclose(got["s"], want["s"])
