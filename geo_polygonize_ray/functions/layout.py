@@ -184,6 +184,30 @@ class _BucketJoiner:
         return pd.concat(frames, ignore_index=True)
 
 
+def bucket_lookup(path: str, keys: np.ndarray) -> pd.DataFrame:
+    """Point lookup: rows of the layout matching ``keys``, reading ONLY the
+    buckets those keys hash into — bytes scanned are |hit buckets| / B of
+    the table, independent of total size.  Driver-side by design (the
+    result is a small frame for a small key set); fan a Dataset over
+    buckets via ``bucket_aggregate`` when the key set is itself large."""
+    import pyarrow.parquet as pq
+
+    m = read_layout_manifest(path)
+    keys = np.asarray(keys, dtype=np.int64)
+    want = np.unique(keys)
+    frames = []
+    for b in np.unique(bucket_of(want, int(m["n_buckets"]))):
+        files = _bucket_files(path, int(b))
+        if not files:
+            continue
+        t = pa.concat_tables(pq.read_table(f) for f in files)
+        mask = pa.compute.is_in(t[m["key"]], value_set=pa.array(want, pa.int64()))
+        frames.append(t.filter(mask).to_pandas())
+    if not frames:
+        return pd.DataFrame()
+    return pd.concat(frames, ignore_index=True)
+
+
 class _BucketAggregator:
     """Per-task exact aggregation over one bucket of a published layout.
 

