@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygonize_random": geometry.q_polygonize_random,
         "polygonize_tiled": geometry.q_polygonize_tiled,
         "polygonize_skewed": geometry.q_polygonize_skewed,
+        "spatial_bbox_read": geometry.q_spatial_bbox_read,
         "image_roundtrip": geometry.q_image_roundtrip,
         "mosaic_polygonize": _q_mosaic_polygonize,
         "approx_distinct_orders": _q_approx_distinct,

@@ -116,3 +116,34 @@ def q_image_roundtrip(sf_dir: str, n_images: int = 96) -> pd.DataFrame:
     df = df[["image_id", "n_polys", "total_area", "psnr_db", "phash_ok", "roundtrip_ok"]].copy()
     df["total_area"] = np.round(df["total_area"], 6)
     return df.sort_values("image_id").reset_index(drop=True)
+
+
+def q_spatial_bbox_read(sf_dir: str, n: int = 24) -> pd.DataFrame:
+    """Polygonize grid(n), sink it SPATIALLY partitioned (state/spatial.py),
+    then answer a bbox query with partition pruning — the full
+    produce->layout->prune consumption chain of a 100 TB run.  Returns the
+    polygons whose centroid falls in the middle ninth of the plane,
+    deterministic by construction."""
+    import tempfile
+
+    import ray.data as rd
+
+    from geo_polygonize_ray.config import PipelineConfig
+    from geo_polygonize_ray.pipelines.polygonize import polygonize_dataset
+    from geo_polygonize_ray.state.spatial import read_polygons_bbox, write_polygons_spatial
+
+    cfg = PipelineConfig(tile_size=float(n) / 3.0, tile_buffer=2.0)
+    ds = polygonize_dataset(
+        rd.from_arrow(linework_table(grid_lines(n))), cfg, bbox=(0, 0, float(n), float(n))
+    )
+    out_dir = tempfile.mkdtemp(prefix="gpr_spatial_")
+    write_polygons_spatial(ds, out_dir, cell_size=float(n) / 3.0)
+    third = float(n) / 3.0
+    got = (
+        read_polygons_bbox(out_dir, (third, third, 2 * third, 2 * third))
+        .to_pandas()
+        .copy()
+    )
+    got["area"] = np.round(got["area"], 9)
+    got = got[["cx", "cy", "area", "n_holes"]].sort_values(["cx", "cy"])
+    return got.reset_index(drop=True)
