@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygonize_tiled": geometry.q_polygonize_tiled,
         "polygonize_skewed": geometry.q_polygonize_skewed,
         "spatial_bbox_read": geometry.q_spatial_bbox_read,
+        "spatial_join_events": geometry.q_spatial_join_events,
         "image_roundtrip": geometry.q_image_roundtrip,
         "mosaic_polygonize": _q_mosaic_polygonize,
         "approx_distinct_orders": _q_approx_distinct,
@@ -185,7 +186,7 @@ def _q_image_resize(sf_dir: str):
 
 
 def oracle_sql() -> dict[str, str]:
-    from geo_polygonize_ray.pipelines import ann, curation, relational, temporal, text
+    from geo_polygonize_ray.pipelines import ann, curation, geometry, relational, temporal, text
 
     return {
         "q1_pricing_summary": relational.Q1_SQL,
@@ -227,5 +228,6 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": curation.Q_STRATIFIED_SQL,
         "mixture_sample_sources": curation.Q_MIXTURE_SQL,
         "ann_topk": ann.Q_ANN_SQL_TEMPLATE.format(qid=0, k=10),
+        "spatial_join_events": geometry.Q_SPATIAL_JOIN_SQL_TEMPLATE.format(n=12),
         "embedding_stats": ann.Q_EMB_STATS_SQL,
     }

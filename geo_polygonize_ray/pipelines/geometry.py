@@ -147,3 +147,64 @@ def q_spatial_bbox_read(sf_dir: str, n: int = 24) -> pd.DataFrame:
     got["area"] = np.round(got["area"], 9)
     got = got[["cx", "cy", "area", "n_holes"]].sort_values(["cx", "cy"])
     return got.reset_index(drop=True)
+
+
+def q_spatial_join_events(sf_dir: str, n: int = 12) -> pd.DataFrame:
+    """Distributed points-in-polygons join, SQL-CHECKED: event rows map to
+    deterministic points in [0,n)^2 (irrational-ish scaling keeps them off
+    cell edges), the polygon side is polygonize(grid(n)) whose unit cells
+    have closed-form geometry — so DuckDB can state the expected
+    containment with FLOOR arithmetic while the Ray side earns it through
+    the full geometric machinery (cell co-partition + crossing-parity
+    PIP).  Output: (point_id, cx, cy) of the containing cell."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geo_polygonize_ray.pipelines.spatialjoin import spatial_join_points_in_polygons
+
+    def to_points(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "point_id": t["event_id"],
+                "x": pa.array((v * 0.7919) % float(n), pa.float64()),
+                "y": pa.array((v * 1.3173) % float(n), pa.float64()),
+            }
+        )
+
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    points = ev.map_batches(to_points, batch_format="pyarrow")
+    cfg = PipelineConfig(tile_size=float(n) / 2.0, tile_buffer=2.0)
+    polys = polygonize_dataset(
+        rd.from_arrow(linework_table(grid_lines(n))), cfg, bbox=(0, 0, float(n), float(n))
+    )
+    # poly_id is TILE-LOCAL in the polygonizer output; pack a globally
+    # unique join key (tile_id << 20 | poly_id) before using it as one
+    def globalize(t: pa.Table) -> pa.Table:
+        uid = (t["tile_id"].to_numpy(zero_copy_only=False) << 20) | t[
+            "poly_id"
+        ].to_numpy(zero_copy_only=False)
+        i = t.schema.get_field_index("poly_id")
+        return t.set_column(i, "poly_id", pa.array(uid, pa.int64()))
+
+    polys = polys.map_batches(globalize, batch_format="pyarrow")
+    joined = spatial_join_points_in_polygons(points, polys, cell_size=float(n) / 4.0)
+    # centroid attach: n^2 polygon summaries are cluster-constant-sized, so
+    # a driver-side merge is scale-correct (same policy as band edges)
+    cent = polys.select_columns(["poly_id", "cx", "cy"]).to_pandas()
+    out = joined.to_pandas().merge(cent, on="poly_id")
+    return (
+        out[["point_id", "cx", "cy"]]
+        .sort_values("point_id")
+        .reset_index(drop=True)
+    )
+
+
+Q_SPATIAL_JOIN_SQL_TEMPLATE = """
+SELECT event_id AS point_id,
+       FLOOR(fmod(value * 0.7919, {n})) + 0.5 AS cx,
+       FLOOR(fmod(value * 1.3173, {n})) + 0.5 AS cy
+FROM events ORDER BY event_id
+"""

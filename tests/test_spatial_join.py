@@ -1,0 +1,133 @@
+"""Distributed points-in-polygons spatial join (pipelines/spatialjoin.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from geo_polygonize_ray.config import PipelineConfig
+from geo_polygonize_ray.pipelines.polygonize import polygonize_dataset
+from geo_polygonize_ray.pipelines.spatialjoin import spatial_join_points_in_polygons
+from geo_polygonize_ray.sources.fixtures import grid_lines, linework_table
+
+
+def _grid_polygons(n, tile=None):
+    cfg = PipelineConfig(tile_size=tile or float(n), tile_buffer=2.0)
+    return polygonize_dataset(
+        rd.from_arrow(linework_table(grid_lines(n))), cfg, bbox=(0, 0, float(n), float(n))
+    )
+
+
+def _points(px, py):
+    return rd.from_pandas(
+        pd.DataFrame(
+            {"point_id": np.arange(len(px), dtype=np.int64), "x": px, "y": py}
+        )
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSpatialJoin:
+    def test_grid_points_match_floor_assignment(self):
+        n = 8
+        rng = np.random.default_rng(3)
+        px = rng.uniform(0.01, n - 0.01, 200)
+        py = rng.uniform(0.01, n - 0.01, 200)
+        # keep clear of cell edges so floor() is the unambiguous truth
+        px = np.where(np.abs(px - np.round(px)) < 1e-3, px + 0.01, px)
+        py = np.where(np.abs(py - np.round(py)) < 1e-3, py + 0.01, py)
+
+        polys = _grid_polygons(n).materialize()
+        got = (
+            spatial_join_points_in_polygons(_points(px, py), polys, cell_size=2.0)
+            .to_pandas()
+            .sort_values("point_id")
+            .reset_index(drop=True)
+        )
+        # every point inside exactly one unit cell
+        assert len(got) == 200
+        assert got["point_id"].is_unique
+        # match via polygon centroid lookup
+        pdf = polys.to_pandas()[["poly_id", "cx", "cy"]]
+        merged = got.merge(pdf, on="poly_id")
+        assert np.array_equal(np.floor(px[merged["point_id"]]), merged["cx"] - 0.5)
+        assert np.array_equal(np.floor(py[merged["point_id"]]), merged["cy"] - 0.5)
+
+    def test_cell_size_does_not_change_result(self):
+        n = 6
+        rng = np.random.default_rng(5)
+        px = rng.uniform(0.1, n - 0.1, 60)
+        py = rng.uniform(0.1, n - 0.1, 60)
+        polys = _grid_polygons(n).materialize()
+        outs = []
+        for cs in (1.0, 2.5, 10.0):
+            out = (
+                spatial_join_points_in_polygons(_points(px, py), polys, cell_size=cs)
+                .to_pandas()
+                .sort_values(["point_id", "poly_id"])
+                .reset_index(drop=True)
+            )
+            outs.append(out)
+        for o in outs[1:]:
+            pd.testing.assert_frame_equal(outs[0], o)
+
+    def test_hole_excluded_island_included(self):
+        # nested squares: outer [0,8]^2 with island [2,6]^2 -> two polygons:
+        # the ring-shaped outer (1 hole) and the island
+        lines = [
+            np.array([(0.0, 0.0), (8.0, 0.0), (8.0, 8.0), (0.0, 8.0), (0.0, 0.0)]),
+            np.array([(2.0, 2.0), (6.0, 2.0), (6.0, 6.0), (2.0, 6.0), (2.0, 2.0)]),
+        ]
+        cfg = PipelineConfig(tile_size=8.0, tile_buffer=2.0)
+        polys = polygonize_dataset(
+            rd.from_arrow(linework_table(lines)), cfg, bbox=(0, 0, 8, 8)
+        ).materialize()
+        pdf = polys.to_pandas()
+        outer_id = int(pdf.loc[pdf["n_holes"] == 1, "poly_id"].iloc[0])
+        island_id = int(pdf.loc[pdf["n_holes"] == 0, "poly_id"].iloc[0])
+
+        # p0 in the ring area, p1 inside the island, p2 outside everything
+        got = (
+            spatial_join_points_in_polygons(
+                _points(np.array([1.0, 4.0, 9.5]), np.array([1.0, 4.0, 9.5])),
+                polys,
+                cell_size=4.0,
+            )
+            .to_pandas()
+            .sort_values("point_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == 2
+        assert got.loc[got["point_id"] == 0, "poly_id"].iloc[0] == outer_id
+        assert got.loc[got["point_id"] == 1, "poly_id"].iloc[0] == island_id
+
+    def test_polygon_spanning_many_cells_joined_once(self):
+        # one big square [0,10]^2, tiny cells: the polygon duplicates to
+        # 100+ cells but each point still pairs with it exactly once
+        lines = [
+            np.array([(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)])
+        ]
+        cfg = PipelineConfig(tile_size=10.0, tile_buffer=2.0)
+        polys = polygonize_dataset(
+            rd.from_arrow(linework_table(lines)), cfg, bbox=(0, 0, 10, 10)
+        ).materialize()
+        got = (
+            spatial_join_points_in_polygons(
+                _points(np.array([0.5, 5.5, 9.5]), np.array([0.5, 5.5, 9.5])),
+                polys,
+                cell_size=1.0,
+            )
+            .to_pandas()
+            .sort_values("point_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == 3
+        assert got["point_id"].is_unique
+
+    def test_no_matches_is_empty_not_error(self):
+        polys = _grid_polygons(4).materialize()
+        got = spatial_join_points_in_polygons(
+            _points(np.array([100.0]), np.array([100.0])), polys, cell_size=2.0
+        ).to_pandas()
+        assert len(got) == 0
