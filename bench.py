@@ -257,6 +257,10 @@ def run_bench() -> dict:
     timed("minhash_lsh_pairs", lambda: minhash_lsh_pairs(SF_DIR))
     timed("ann_topk", lambda: q_ann_topk(SF_DIR))
 
+    from geo_polygonize_ray.pipelines.geometry import q_spatial_join_events
+
+    timed("spatial_join_events", lambda: len(q_spatial_join_events(SF_DIR)))
+
     total = round(sum(timings.values()), 4)
     # aggregate denominator: SAME three rows as r1/r2 so the headline
     # number stays comparable across rounds; the r3 additions (skew,

@@ -141,12 +141,15 @@ def spatial_join_points_in_polygons(
             # ring -> polygon mapping drives the parity XOR
             ring_parts_x, ring_parts_y, ring_poly = [], [], []
             gids = pls["poly_id"].to_numpy(np.int64)
+            sxs = pls["shell_xs"].to_numpy()
+            sys_ = pls["shell_ys"].to_numpy()
+            hxs = pls["holes_xs"].to_numpy()
+            hys = pls["holes_ys"].to_numpy()
             for k in range(len(pls)):
-                row = pls.iloc[k]
-                ring_parts_x.append(np.asarray(row["shell_xs"], dtype=np.float64))
-                ring_parts_y.append(np.asarray(row["shell_ys"], dtype=np.float64))
+                ring_parts_x.append(np.asarray(sxs[k], dtype=np.float64))
+                ring_parts_y.append(np.asarray(sys_[k], dtype=np.float64))
                 ring_poly.append(k)
-                for hx, hy in zip(row["holes_xs"], row["holes_ys"]):
+                for hx, hy in zip(hxs[k], hys[k]):
                     ring_parts_x.append(np.asarray(hx, dtype=np.float64))
                     ring_parts_y.append(np.asarray(hy, dtype=np.float64))
                     ring_poly.append(k)
