@@ -137,13 +137,20 @@ def q_spatial_bbox_read(sf_dir: str, n: int = 24) -> pd.DataFrame:
         rd.from_arrow(linework_table(grid_lines(n))), cfg, bbox=(0, 0, float(n), float(n))
     )
     out_dir = tempfile.mkdtemp(prefix="gpr_spatial_")
-    write_polygons_spatial(ds, out_dir, cell_size=float(n) / 3.0)
-    third = float(n) / 3.0
-    got = (
-        read_polygons_bbox(out_dir, (third, third, 2 * third, 2 * third))
-        .to_pandas()
-        .copy()
-    )
+    try:
+        write_polygons_spatial(ds, out_dir, cell_size=float(n) / 3.0)
+        third = float(n) / 3.0
+        got = (
+            read_polygons_bbox(out_dir, (third, third, 2 * third, 2 * third))
+            .to_pandas()
+            .copy()
+        )
+    finally:
+        # the bbox read is fully consumed above, so (unlike the mosaic
+        # spill) the layout can be deleted before returning
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
     got["area"] = np.round(got["area"], 9)
     got = got[["cx", "cy", "area", "n_holes"]].sort_values(["cx", "cy"])
     return got.reset_index(drop=True)
