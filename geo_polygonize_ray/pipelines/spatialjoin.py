@@ -201,3 +201,132 @@ def spatial_join_points_in_polygons(
     from geo_polygonize_ray.functions import bucketed_groupby
 
     return bucketed_groupby(tagged, "cell", join_cell)
+
+
+def spatial_join_broadcast(
+    points: rd.Dataset,
+    polygons: rd.Dataset,
+    grid_cell: float | None = None,
+) -> rd.Dataset:
+    """Small-polygon-side variant: the polygon table (flat rings + a cell
+    index) is built ONCE, put in the object store, and every point batch
+    probes it map-side — ZERO shuffle, the right plan whenever the polygon
+    side fits a worker's heap (dimension-table rule: broadcast small
+    sides instead of exchanging the big one).
+
+    ``grid_cell`` sizes the probe index (defaults to the median shell bbox
+    diagonal): candidate polygons per point come from a bucketed cell ->
+    polygon inverted index instead of a full bbox scan, so per-batch probe
+    cost is O(points x local density), not O(points x polygons).
+
+    Exactness: identical even-odd parity kernel and pair formation as
+    spatial_join_points_in_polygons — the two plans are interchangeable
+    (pinned by an equality test) and differ only in data movement.
+    """
+    import ray
+
+    pl = polygons.select_columns(
+        ["poly_id", "shell_xs", "shell_ys", "holes_xs", "holes_ys"]
+    ).to_pandas()
+    ring_parts_x, ring_parts_y, ring_poly = [], [], []
+    sxs = pl["shell_xs"].to_numpy()
+    sys_ = pl["shell_ys"].to_numpy()
+    hxs = pl["holes_xs"].to_numpy()
+    hys = pl["holes_ys"].to_numpy()
+    for k in range(len(pl)):
+        ring_parts_x.append(np.asarray(sxs[k], dtype=np.float64))
+        ring_parts_y.append(np.asarray(sys_[k], dtype=np.float64))
+        ring_poly.append(k)
+        for hx, hy in zip(hxs[k], hys[k]):
+            ring_parts_x.append(np.asarray(hx, dtype=np.float64))
+            ring_parts_y.append(np.asarray(hy, dtype=np.float64))
+            ring_poly.append(k)
+    ring_poly = np.asarray(ring_poly, dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum([len(r) for r in ring_parts_x])]).astype(np.int64)
+    flat_x = np.concatenate(ring_parts_x) if ring_parts_x else np.empty(0)
+    flat_y = np.concatenate(ring_parts_y) if ring_parts_y else np.empty(0)
+    first_ring = np.flatnonzero(np.concatenate([[True], np.diff(ring_poly) > 0]))
+    shminx = np.array([ring_parts_x[i].min() for i in first_ring])
+    shmaxx = np.array([ring_parts_x[i].max() for i in first_ring])
+    shminy = np.array([ring_parts_y[i].min() for i in first_ring])
+    shmaxy = np.array([ring_parts_y[i].max() for i in first_ring])
+    if grid_cell is None:
+        diag = np.hypot(shmaxx - shminx, shmaxy - shminy)
+        grid_cell = float(max(np.median(diag), 1e-9)) if len(diag) else 1.0
+    cs = float(grid_cell)
+    # inverted index: cell key -> polygon ids whose bbox touches the cell
+    c0 = np.ceil(shminx / cs - 1.0).astype(np.int64)
+    c1 = np.floor(shmaxx / cs).astype(np.int64)
+    r0 = np.ceil(shminy / cs - 1.0).astype(np.int64)
+    r1 = np.floor(shmaxy / cs).astype(np.int64)
+    counts = (c1 - c0 + 1) * (r1 - r0 + 1)
+    total = int(counts.sum())
+    rep = np.repeat(np.arange(len(pl)), counts)
+    local = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    width = np.repeat(c1 - c0 + 1, counts)
+    cix = np.repeat(c0, counts) + local % width
+    ciy = np.repeat(r0, counts) + local // width
+    keys = _cell_key(cix, ciy)
+    order = np.argsort(keys, kind="stable")
+    idx_keys = keys[order]
+    idx_polys = rep[order]
+    rings_per_poly = np.bincount(ring_poly, minlength=len(pl))
+    ring_starts = np.concatenate([[0], np.cumsum(rings_per_poly)]).astype(np.int64)
+    gids = pl["poly_id"].to_numpy(np.int64)
+
+    index_ref = ray.put(
+        dict(
+            idx_keys=idx_keys, idx_polys=idx_polys, flat_x=flat_x, flat_y=flat_y,
+            offsets=offsets, ring_starts=ring_starts, rings_per_poly=rings_per_poly,
+            shminx=shminx, shmaxx=shmaxx, shminy=shminy, shmaxy=shmaxy,
+            gids=gids, cs=cs,
+        )
+    )
+
+    def probe(batch: pa.Table) -> pd.DataFrame:
+        ix = ray.get(index_ref)
+        px = batch["x"].to_numpy(zero_copy_only=False)
+        py = batch["y"].to_numpy(zero_copy_only=False)
+        pid = batch["point_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pd.DataFrame(
+            {"point_id": np.array([], np.int64), "poly_id": np.array([], np.int64)}
+        )
+        if not len(px) or not len(ix["gids"]):
+            return empty
+        key = _cell_key(
+            np.floor(px / ix["cs"]).astype(np.int64),
+            np.floor(py / ix["cs"]).astype(np.int64),
+        )
+        lo = np.searchsorted(ix["idx_keys"], key, side="left")
+        hi = np.searchsorted(ix["idx_keys"], key, side="right")
+        n_cand = hi - lo
+        tot = int(n_cand.sum())
+        if tot == 0:
+            return empty
+        pidx = np.repeat(np.arange(len(px)), n_cand)
+        pos = np.arange(tot) - np.repeat(np.cumsum(n_cand) - n_cand, n_cand)
+        gcand = ix["idx_polys"][np.repeat(lo, n_cand) + pos]
+        # bbox refine
+        keep = (
+            (px[pidx] >= ix["shminx"][gcand]) & (px[pidx] <= ix["shmaxx"][gcand])
+            & (py[pidx] >= ix["shminy"][gcand]) & (py[pidx] <= ix["shmaxy"][gcand])
+        )
+        pidx, gcand = pidx[keep], gcand[keep]
+        if not len(pidx):
+            return empty
+        # expand to (pair, ring) rows, parity per ring, XOR per pair
+        pair_nrings = ix["rings_per_poly"][gcand]
+        tot = int(pair_nrings.sum())
+        pair_idx = np.repeat(np.arange(len(pidx)), pair_nrings)
+        pos = np.arange(tot) - np.repeat(np.cumsum(pair_nrings) - pair_nrings, pair_nrings)
+        ring_ids = ix["ring_starts"][gcand][pair_idx] + pos
+        hit = pair_points_in_rings(
+            px[pidx][pair_idx], py[pidx][pair_idx], ring_ids,
+            ix["flat_x"], ix["flat_y"], ix["offsets"],
+        )
+        inside = np.zeros(len(pidx), dtype=bool)
+        np.bitwise_xor.at(inside, pair_idx, hit)
+        keep = np.flatnonzero(inside)
+        return pd.DataFrame({"point_id": pid[pidx[keep]], "poly_id": ix["gids"][gcand[keep]]})
+
+    return points.map_batches(probe, batch_format="pyarrow")

@@ -131,3 +131,55 @@ class TestSpatialJoin:
             _points(np.array([100.0]), np.array([100.0])), polys, cell_size=2.0
         ).to_pandas()
         assert len(got) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBroadcastSpatialJoin:
+    def test_broadcast_equals_copartitioned(self):
+        from geo_polygonize_ray.pipelines.spatialjoin import spatial_join_broadcast
+
+        n = 8
+        rng = np.random.default_rng(9)
+        px = rng.uniform(0.05, n - 0.05, 300)
+        py = rng.uniform(0.05, n - 0.05, 300)
+        polys = _grid_polygons(n).materialize()
+
+        a = (
+            spatial_join_points_in_polygons(_points(px, py), polys, cell_size=2.0)
+            .to_pandas()
+            .sort_values(["point_id", "poly_id"])
+            .reset_index(drop=True)
+        )
+        b = (
+            spatial_join_broadcast(_points(px, py), polys)
+            .to_pandas()
+            .sort_values(["point_id", "poly_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_broadcast_holes_and_miss(self):
+        from geo_polygonize_ray.pipelines.spatialjoin import spatial_join_broadcast
+
+        lines = [
+            np.array([(0.0, 0.0), (8.0, 0.0), (8.0, 8.0), (0.0, 8.0), (0.0, 0.0)]),
+            np.array([(2.0, 2.0), (6.0, 2.0), (6.0, 6.0), (2.0, 6.0), (2.0, 2.0)]),
+        ]
+        cfg = PipelineConfig(tile_size=8.0, tile_buffer=2.0)
+        polys = polygonize_dataset(
+            rd.from_arrow(linework_table(lines)), cfg, bbox=(0, 0, 8, 8)
+        ).materialize()
+        got = (
+            spatial_join_broadcast(
+                _points(np.array([1.0, 4.0, 9.5]), np.array([1.0, 4.0, 9.5])), polys
+            )
+            .to_pandas()
+            .sort_values("point_id")
+            .reset_index(drop=True)
+        )
+        pdf = polys.to_pandas()
+        outer_id = int(pdf.loc[pdf["n_holes"] == 1, "poly_id"].iloc[0])
+        island_id = int(pdf.loc[pdf["n_holes"] == 0, "poly_id"].iloc[0])
+        assert len(got) == 2
+        assert got.loc[got["point_id"] == 0, "poly_id"].iloc[0] == outer_id
+        assert got.loc[got["point_id"] == 1, "poly_id"].iloc[0] == island_id
