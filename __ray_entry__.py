@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygonize_skewed": geometry.q_polygonize_skewed,
         "spatial_bbox_read": geometry.q_spatial_bbox_read,
         "spatial_join_events": geometry.q_spatial_join_events,
+        "zonal_stats_events": geometry.q_zonal_stats_events,
         "image_roundtrip": geometry.q_image_roundtrip,
         "mosaic_polygonize": _q_mosaic_polygonize,
         "approx_distinct_orders": _q_approx_distinct,
@@ -229,5 +230,6 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample_sources": curation.Q_MIXTURE_SQL,
         "ann_topk": ann.Q_ANN_SQL_TEMPLATE.format(qid=0, k=10),
         "spatial_join_events": geometry.Q_SPATIAL_JOIN_SQL_TEMPLATE.format(n=12),
+        "zonal_stats_events": geometry.Q_ZONAL_SQL_TEMPLATE.format(n=12),
         "embedding_stats": ann.Q_EMB_STATS_SQL,
     }

@@ -215,3 +215,60 @@ SELECT event_id AS point_id,
        FLOOR(fmod(value * 1.3173, {n})) + 0.5 AS cy
 FROM events ORDER BY event_id
 """
+
+
+def q_zonal_stats_events(sf_dir: str, n: int = 12) -> pd.DataFrame:
+    """Zonal statistics over the same event-derived points and grid
+    polygons as q_spatial_join_events: per-cell point count and value sum
+    via the broadcast containment join + partial-aggregate shuffle.
+    SQL-checked (closed-form cell geometry -> FLOOR arithmetic)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geo_polygonize_ray.pipelines.spatialjoin import zonal_stats
+
+    def to_points(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "point_id": t["event_id"],
+                "x": pa.array((v * 0.7919) % float(n), pa.float64()),
+                "y": pa.array((v * 1.3173) % float(n), pa.float64()),
+                "value": t["value"],
+            }
+        )
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    points = ev.map_batches(to_points, batch_format="pyarrow")
+    cfg = PipelineConfig(tile_size=float(n) / 2.0, tile_buffer=2.0)
+    polys = polygonize_dataset(
+        rd.from_arrow(linework_table(grid_lines(n))), cfg, bbox=(0, 0, float(n), float(n))
+    )
+
+    def globalize(t: pa.Table) -> pa.Table:
+        uid = (t["tile_id"].to_numpy(zero_copy_only=False) << 20) | t[
+            "poly_id"
+        ].to_numpy(zero_copy_only=False)
+        i = t.schema.get_field_index("poly_id")
+        return t.set_column(i, "poly_id", pa.array(uid, pa.int64()))
+
+    polys = polys.map_batches(globalize, batch_format="pyarrow").materialize()
+    stats = zonal_stats(points, polys, "value").to_pandas()
+    cent = polys.select_columns(["poly_id", "cx", "cy"]).to_pandas()
+    out = stats.merge(cent, on="poly_id")
+    out["n_points"] = out["n_points"].astype(np.int64)
+    out["sum_value"] = np.round(out["sum_value"], 4)
+    return (
+        out[["cx", "cy", "n_points", "sum_value"]]
+        .sort_values(["cx", "cy"])
+        .reset_index(drop=True)
+    )
+
+
+Q_ZONAL_SQL_TEMPLATE = """
+SELECT FLOOR(fmod(value * 0.7919, {n})) + 0.5 AS cx,
+       FLOOR(fmod(value * 1.3173, {n})) + 0.5 AS cy,
+       COUNT(*) AS n_points,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY cx, cy ORDER BY cx, cy
+"""

@@ -207,6 +207,7 @@ def spatial_join_broadcast(
     points: rd.Dataset,
     polygons: rd.Dataset,
     grid_cell: float | None = None,
+    point_cols: list[str] | None = None,
 ) -> rd.Dataset:
     """Small-polygon-side variant: the polygon table (flat rings + a cell
     index) is built ONCE, put in the object store, and every point batch
@@ -283,13 +284,17 @@ def spatial_join_broadcast(
         )
     )
 
+    extra = list(point_cols or [])
+
     def probe(batch: pa.Table) -> pd.DataFrame:
         ix = ray.get(index_ref)
         px = batch["x"].to_numpy(zero_copy_only=False)
         py = batch["y"].to_numpy(zero_copy_only=False)
         pid = batch["point_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        extras = {c: batch[c].to_numpy(zero_copy_only=False) for c in extra}
         empty = pd.DataFrame(
-            {"point_id": np.array([], np.int64), "poly_id": np.array([], np.int64)}
+            {"point_id": np.array([], np.int64), "poly_id": np.array([], np.int64),
+             **{c: np.array([]) for c in extra}}
         )
         if not len(px) or not len(ix["gids"]):
             return empty
@@ -327,6 +332,43 @@ def spatial_join_broadcast(
         inside = np.zeros(len(pidx), dtype=bool)
         np.bitwise_xor.at(inside, pair_idx, hit)
         keep = np.flatnonzero(inside)
-        return pd.DataFrame({"point_id": pid[pidx[keep]], "poly_id": ix["gids"][gcand[keep]]})
+        return pd.DataFrame(
+            {
+                "point_id": pid[pidx[keep]],
+                "poly_id": ix["gids"][gcand[keep]],
+                **{c: v[pidx[keep]] for c, v in extras.items()},
+            }
+        )
 
     return points.map_batches(probe, batch_format="pyarrow")
+
+
+def zonal_stats(
+    points: rd.Dataset,
+    polygons: rd.Dataset,
+    value_col: str,
+    grid_cell: float | None = None,
+) -> rd.Dataset:
+    """Zonal statistics: per-polygon count/sum/mean of a point value
+    column.  Composition of the broadcast containment join (value carried
+    through map-side) with the map-side-partial + bucketed-groupby
+    aggregation pattern — the shuffle moves per-(batch, polygon) partials,
+    never points."""
+    joined = spatial_join_broadcast(
+        points, polygons, grid_cell=grid_cell, point_cols=[value_col]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("poly_id", as_index=False).agg(
+            n_points=(value_col, "size"), sum_value=(value_col, "sum")
+        )
+
+    from geo_polygonize_ray.functions import bucketed_groupby
+
+    return bucketed_groupby(
+        joined.map_batches(partial, batch_format="pandas"),
+        "poly_id",
+        lambda g: g.groupby("poly_id", as_index=False).agg(
+            n_points=("n_points", "sum"), sum_value=("sum_value", "sum")
+        ),
+    )

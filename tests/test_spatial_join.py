@@ -183,3 +183,39 @@ class TestBroadcastSpatialJoin:
         assert len(got) == 2
         assert got.loc[got["point_id"] == 0, "poly_id"].iloc[0] == outer_id
         assert got.loc[got["point_id"] == 1, "poly_id"].iloc[0] == island_id
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zonal_stats_matches_pandas():
+    from geo_polygonize_ray.pipelines.spatialjoin import zonal_stats
+
+    n = 6
+    rng = np.random.default_rng(13)
+    px = rng.uniform(0.05, n - 0.05, 150)
+    py = rng.uniform(0.05, n - 0.05, 150)
+    val = rng.random(150)
+    pts = rd.from_pandas(
+        pd.DataFrame(
+            {"point_id": np.arange(150, dtype=np.int64), "x": px, "y": py, "value": val}
+        )
+    )
+    polys = _grid_polygons(n).materialize()
+    got = (
+        zonal_stats(pts, polys, "value")
+        .to_pandas()
+        .sort_values("poly_id")
+        .reset_index(drop=True)
+    )
+    # pandas truth: assign each point to its unit cell, aggregate
+    cent = polys.to_pandas()[["poly_id", "cx", "cy"]]
+    truth = (
+        pd.DataFrame({"cx": np.floor(px) + 0.5, "cy": np.floor(py) + 0.5, "value": val})
+        .merge(cent, on=["cx", "cy"])
+        .groupby("poly_id", as_index=False)
+        .agg(n_points=("value", "size"), sum_value=("value", "sum"))
+        .sort_values("poly_id")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(got["poly_id"], truth["poly_id"])
+    assert np.array_equal(got["n_points"], truth["n_points"])
+    assert np.allclose(got["sum_value"], truth["sum_value"])
