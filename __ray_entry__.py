@@ -231,5 +231,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": ann.Q_ANN_SQL_TEMPLATE.format(qid=0, k=10),
         "spatial_join_events": geometry.Q_SPATIAL_JOIN_SQL_TEMPLATE.format(n=12),
         "zonal_stats_events": geometry.Q_ZONAL_SQL_TEMPLATE.format(n=12),
+        # unit-grid faces have closed-form geometry, so even the flagship
+        # polygonize path gets a value-hash oracle (range() generator)
+        "polygonize_grid": geometry.Q_GRID_SQL_TEMPLATE.format(n=30),
+        "polygonize_tiled": geometry.Q_GRID_SQL_TEMPLATE.format(n=20),
         "embedding_stats": ann.Q_EMB_STATS_SQL,
     }

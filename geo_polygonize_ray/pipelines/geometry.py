@@ -59,9 +59,20 @@ def _poly_summary(out) -> pd.DataFrame:
 
 
 def q_polygonize_grid(sf_dir: str, n: int = 30) -> pd.DataFrame:
-    """grid(N) workload (reference bench): exactly N^2 unit cells."""
-    return _polygonize_summary(
+    """grid(N) workload (reference bench): exactly N^2 unit cells.
+
+    SQL-CHECKED: a unit grid's faces have closed-form geometry (centroid
+    i+0.5/j+0.5 — exact in float64 through the shoelace centroid, area
+    exactly 1, no holes), so the canonical (cx, cy, area, n_holes) view is
+    hash-compared against a pure range() generator in DuckDB while the
+    engine earns every row geometrically (node, trace, assemble)."""
+    out = _polygonize_summary(
         linework_table(grid_lines(n)), PipelineConfig(node_input=True)
+    )
+    return (
+        out[["cx", "cy", "area", "n_holes"]]
+        .sort_values(["cx", "cy"])
+        .reset_index(drop=True)
     )
 
 
@@ -105,7 +116,12 @@ def q_polygonize_tiled(sf_dir: str, n: int = 20, tile_size: float = 6.0, buffer:
     ds = rd.from_arrow(linework_table(grid_lines(n)))
     cfg = PipelineConfig(tile_size=tile_size, tile_buffer=buffer)
     out = polygonize_dataset(ds, cfg, bbox=(0.0, 0.0, float(n), float(n)))
-    return _poly_summary(out)
+    # canonical closed-form view (see q_polygonize_grid) -> SQL-checkable
+    return (
+        _poly_summary(out)[["cx", "cy", "area", "n_holes"]]
+        .sort_values(["cx", "cy"])
+        .reset_index(drop=True)
+    )
 
 
 def q_image_roundtrip(sf_dir: str, n_images: int = 96) -> pd.DataFrame:
@@ -271,4 +287,12 @@ SELECT FLOOR(fmod(value * 0.7919, {n})) + 0.5 AS cx,
        COUNT(*) AS n_points,
        ROUND(SUM(value), 4) AS sum_value
 FROM events GROUP BY cx, cy ORDER BY cx, cy
+"""
+
+
+Q_GRID_SQL_TEMPLATE = """
+SELECT a.i + 0.5 AS cx, b.j + 0.5 AS cy,
+       ROUND(1.0, 6) AS area, CAST(0 AS BIGINT) AS n_holes
+FROM range({n}) a(i) CROSS JOIN range({n}) b(j)
+ORDER BY cx, cy
 """
