@@ -105,7 +105,14 @@ def q_polygonize_skewed(sf_dir: str) -> pd.DataFrame:
     out = polygonize_dataset(ds, cfg, bbox=(0.0, 0.0, 100.0, 100.0))
     df = _poly_summary(out)
     assert len(df) == expected, (len(df), expected)
-    return df
+    # canonical closed-form view: binary pitches + grid-aligned hot rects
+    # make every centroid/area EXACT in float64, so the SALTED exchange
+    # path is value-hash checkable against a pure SQL generator
+    return (
+        df[["cx", "cy", "area", "n_holes"]]
+        .sort_values(["cx", "cy"])
+        .reset_index(drop=True)
+    )
 
 
 def q_polygonize_tiled(sf_dir: str, n: int = 20, tile_size: float = 6.0, buffer: float = 4.0) -> pd.DataFrame:
@@ -295,4 +302,24 @@ SELECT a.i + 0.5 AS cx, b.j + 0.5 AS cy,
        ROUND(1.0, 6) AS area, CAST(0 AS BIGINT) AS n_holes
 FROM range({n}) a(i) CROSS JOIN range({n}) b(j)
 ORDER BY cx, cy
+"""
+
+
+# closed-form twin of the skew workload (skewed_grid_lines: 25x25 coarse
+# 4.0-pitch cells minus the two hot rects, plus 2 x 128^2 fine 0.125-pitch
+# cells) — every constant is an exact binary fraction, so both engines
+# land on identical float64 values
+Q_SKEWED_SQL = """
+WITH coarse AS (
+  SELECT 4*a.i + 2.0 AS cx, 4*b.j + 2.0 AS cy, ROUND(16.0, 6) AS area, CAST(0 AS BIGINT) AS n_holes
+  FROM range(25) a(i) CROSS JOIN range(25) b(j)
+  WHERE NOT (4*a.i >= 20 AND 4*a.i < 36 AND 4*b.j >= 40 AND 4*b.j < 56)
+    AND NOT (4*a.i >= 60 AND 4*a.i < 76 AND 4*b.j >= 0 AND 4*b.j < 16)
+), fine AS (
+  SELECT o.ox + 0.125*kk.k + 0.0625 AS cx, o.oy + 0.125*ll.l + 0.0625 AS cy,
+         ROUND(0.015625, 6) AS area, CAST(0 AS BIGINT) AS n_holes
+  FROM (VALUES (20.0, 40.0), (60.0, 0.0)) o(ox, oy)
+  CROSS JOIN range(128) kk(k) CROSS JOIN range(128) ll(l)
+)
+SELECT * FROM (SELECT * FROM coarse UNION ALL SELECT * FROM fine) ORDER BY cx, cy
 """
