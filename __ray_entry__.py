@@ -236,5 +236,6 @@ def oracle_sql() -> dict[str, str]:
         "polygonize_grid": geometry.Q_GRID_SQL_TEMPLATE.format(n=30),
         "polygonize_tiled": geometry.Q_GRID_SQL_TEMPLATE.format(n=20),
         "polygonize_skewed": geometry.Q_SKEWED_SQL,
+        "spatial_bbox_read": geometry.Q_SPATIAL_BBOX_SQL,
         "embedding_stats": ann.Q_EMB_STATS_SQL,
     }

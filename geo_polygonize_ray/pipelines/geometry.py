@@ -323,3 +323,13 @@ WITH coarse AS (
 )
 SELECT * FROM (SELECT * FROM coarse UNION ALL SELECT * FROM fine) ORDER BY cx, cy
 """
+
+
+# closed-form twin of q_spatial_bbox_read: the middle ninth of grid(24) is
+# the 8x8 block of unit cells with centroids in [8.5, 15.5]
+Q_SPATIAL_BBOX_SQL = """
+SELECT a.i + 8.5 AS cx, b.j + 8.5 AS cy,
+       ROUND(1.0, 9) AS area, CAST(0 AS BIGINT) AS n_holes
+FROM range(8) a(i) CROSS JOIN range(8) b(j)
+ORDER BY cx, cy
+"""
