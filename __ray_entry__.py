@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_bbox_read": geometry.q_spatial_bbox_read,
         "spatial_join_events": geometry.q_spatial_join_events,
         "zonal_stats_events": geometry.q_zonal_stats_events,
+        "simplify_polygons": geometry.q_simplify_polygons,
         "image_roundtrip": geometry.q_image_roundtrip,
         "mosaic_polygonize": _q_mosaic_polygonize,
         "approx_distinct_orders": _q_approx_distinct,

@@ -333,3 +333,35 @@ SELECT a.i + 8.5 AS cx, b.j + 8.5 AS cy,
 FROM range(8) a(i) CROSS JOIN range(8) b(j)
 ORDER BY cx, cy
 """
+
+
+def q_simplify_polygons(sf_dir: str, k: int = 100, eps: float = 0.05) -> pd.DataFrame:
+    """Douglas-Peucker simplification stage over the polygonizer output of
+    random(k): per-polygon vertex counts before/after at tolerance eps
+    (deterministic; the DP error bound and idempotence are pinned in
+    tests/test_simplify.py)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geo_polygonize_ray.stages.simplify import simplify_polygons
+
+    cfg = PipelineConfig(node_input=True, tile_size=25.0, tile_buffer=5.0)
+    polys = polygonize_dataset(
+        rd.from_arrow(linework_table(random_lines(k, seed=42))), cfg, bbox=(0, 0, 100, 100)
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        before = np.diff(batch["shell_xs"].combine_chunks().offsets.to_numpy(zero_copy_only=False))
+        simp = simplify_polygons(batch, eps=eps)
+        after = np.diff(simp["shell_xs"].combine_chunks().offsets.to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "cx": pa.array(np.round(batch["cx"].to_numpy(zero_copy_only=False), 6)),
+                "cy": pa.array(np.round(batch["cy"].to_numpy(zero_copy_only=False), 6)),
+                "n_verts": pa.array(before.astype(np.int64)),
+                "n_verts_simplified": pa.array(after.astype(np.int64)),
+            }
+        )
+
+    out = polys.map_batches(stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["cx", "cy"]).reset_index(drop=True)
