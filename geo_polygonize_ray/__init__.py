@@ -20,7 +20,13 @@ Layout:
     state/      per-partition checkpoint manifest + resume
 """
 
+from geo_polygonize_ray import compat as _compat
 from geo_polygonize_ray.config import PipelineConfig
+
+# schema-preserving empty-block shims for the pinned Ray (see compat.py):
+# installed before any Dataset is built so every exchange in the engine
+# keeps typed empty blocks
+_compat.apply()
 
 __all__ = ["PipelineConfig"]
 __version__ = "0.1.0"

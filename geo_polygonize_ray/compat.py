@@ -1,0 +1,362 @@
+"""Runtime shims for Ray Data's empty-block schema loss (Ray 2.49.x).
+
+Ray's sort-based exchange replaces EMPTY blocks with a schema-LESS table
+(``pyarrow.Table.from_pydict({})`` / a column-less DataFrame) in three
+places per block type (``arrow_block.py`` / ``pandas_block.py``:
+``sort``, ``sort_and_partition``, ``merge_sorted_blocks``).  A
+schema-less empty block then travels downstream as a RefBundle with no
+schema, which
+
+* nondeterministically breaks chained acero hash joins ("No match or
+  multiple matches for key field reference ..." — the CORRECTNESS_r04
+  q3_top_orders / minhash_dedup_groups flake: whether an empty partition
+  reaches the join first is a scheduling race), and
+* floods logs with "Operator produced a RefBundle with a different
+  schema" warnings and defeats block-size accounting.
+
+An empty table is trivially sorted, so the schema-preserving behavior is
+strictly more correct: these shims return the typed empty input instead
+of a schema-less one, and re-type an all-empty merge from any typed
+input block.  Behavior otherwise delegates to Ray's originals.  Applied
+idempotently at package import; scoped to the engine's pinned Ray minor
+(2.49) with a version guard so a future Ray upgrade (which may fix this
+upstream) skips the patch.
+"""
+
+from __future__ import annotations
+
+import os
+
+_PATCHED = False
+
+# Ray's worker bootstrap supports non-fatal module preloading
+# (``--worker-preload-modules`` in default_worker.py, fed by the
+# ``RAY_preload_python_modules`` system-config env var).  Exporting it —
+# plus PYTHONPATH so the import resolves before the job config lands —
+# makes EVERY worker import this package (and install these shims) at
+# spawn, including workers that only ever run Ray-internal sort/merge
+# tasks and never unpickle an engine UDF.  Only effective when this
+# package is imported before ray.init (true for the engine's own entry
+# points: tests, bench.py, CLI scripts); sessions initialised earlier
+# still get driver-side + UDF-unpickling-worker coverage.  Import
+# failures in the preload are logged by Ray, never fatal.
+_PRELOAD_ENV = "RAY_preload_python_modules"
+
+
+def _export_worker_preload() -> None:
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + pp if pp else "")
+    mods = [m for m in os.environ.get(_PRELOAD_ENV, "").split(",") if m]
+    if "geo_polygonize_ray.compat" not in mods:
+        mods.append("geo_polygonize_ray.compat")
+        os.environ[_PRELOAD_ENV] = ",".join(mods)
+
+
+def apply() -> None:
+    """Install the schema-preserving sort shims (idempotent, best-effort)."""
+    global _PATCHED
+    if _PATCHED:
+        return
+    _PATCHED = True
+    _export_worker_preload()
+    try:
+        import numpy as np
+        import ray
+        from ray.data._internal.arrow_block import ArrowBlockAccessor
+        from ray.data._internal.pandas_block import PandasBlockAccessor
+        from ray.data.block import BlockAccessor, BlockMetadataWithSchema
+    except Exception:  # pragma: no cover - ray not importable
+        return
+    if not ray.__version__.startswith("2.49"):  # pragma: no cover
+        return
+
+    # ---------------- map_groups empty partitions ----------------
+    # A shuffle partition with zero rows produces ZERO groups, so Ray's
+    # map_groups generator yields nothing and the task's output builder
+    # fabricates a schema-less empty block (DelegatingBlockBuilder.build
+    # with no adds).  Yielding ONE empty group instead routes the typed
+    # empty batch through the UDF, whose typed empty output keeps the
+    # stage's schema (the builder reuses a stored typed empty block).
+    # Resolved at call time through the accessor class, so any worker that
+    # has unpickled an engine UDF (which imports this package) is covered.
+    # Engine map_groups UDFs are all empty-input-safe by contract.
+    _orig_bounds = BlockAccessor._get_group_boundaries_sorted
+
+    def _bounds(self, keys):
+        try:
+            if self.num_rows() == 0 and len(self.column_names()) > 0:
+                return np.array([0, 0])
+        except Exception:  # pragma: no cover - non-table block
+            pass
+        return _orig_bounds(self, keys)
+
+    BlockAccessor._get_group_boundaries_sorted = _bounds
+
+    # ---------------- arrow blocks ----------------
+    _arrow_sort = ArrowBlockAccessor.sort
+    _arrow_sap = ArrowBlockAccessor.sort_and_partition
+    _arrow_merge = ArrowBlockAccessor.merge_sorted_blocks
+
+    def arrow_sort(self, sort_key):
+        if self._table.num_rows == 0:
+            return self._table  # empty is trivially sorted; KEEP the schema
+        return _arrow_sort(self, sort_key)
+
+    def arrow_sort_and_partition(self, boundaries, sort_key):
+        if self._table.num_rows == 0:
+            return [self._table] * (len(boundaries) + 1)
+        return _arrow_sap(self, boundaries, sort_key)
+
+    def arrow_merge_sorted_blocks(blocks, sort_key):
+        ret, meta = _arrow_merge(blocks, sort_key)
+        if ret.num_columns == 0:
+            typed = next((b for b in blocks if getattr(b, "num_columns", 0) > 0), None)
+            if typed is not None:
+                ret = typed.slice(0, 0)
+                meta = BlockMetadataWithSchema.from_block(ret, stats=meta.exec_stats)
+        return ret, meta
+
+    ArrowBlockAccessor.sort = arrow_sort
+    ArrowBlockAccessor.sort_and_partition = arrow_sort_and_partition
+    ArrowBlockAccessor.merge_sorted_blocks = staticmethod(arrow_merge_sorted_blocks)
+
+    # ---------------- pandas blocks ----------------
+    _pd_sort = PandasBlockAccessor.sort
+    _pd_sap = PandasBlockAccessor.sort_and_partition
+    _pd_merge = PandasBlockAccessor.merge_sorted_blocks
+
+    def pandas_sort(self, sort_key):
+        if self._table.shape[0] == 0:
+            return self._table
+        return _pd_sort(self, sort_key)
+
+    def pandas_sort_and_partition(self, boundaries, sort_key):
+        if self._table.shape[0] == 0:
+            return [self._table] * (len(boundaries) + 1)
+        return _pd_sap(self, boundaries, sort_key)
+
+    def pandas_merge_sorted_blocks(blocks, sort_key):
+        ret, meta = _pd_merge(blocks, sort_key)
+        if ret.shape[1] == 0:
+            typed = next(
+                (b for b in blocks if getattr(b, "shape", (0, 0))[1] > 0), None
+            )
+            if typed is not None:
+                ret = typed.iloc[:0]
+                meta = BlockMetadataWithSchema.from_block(ret, stats=meta.exec_stats)
+        return ret, meta
+
+    PandasBlockAccessor.sort = pandas_sort
+    PandasBlockAccessor.sort_and_partition = pandas_sort_and_partition
+    PandasBlockAccessor.merge_sorted_blocks = staticmethod(pandas_merge_sorted_blocks)
+
+    # ---------------- map-stage all-empty inputs ----------------
+    # BlocksToBatchesMapTransformFn builds its "all input blocks were
+    # empty" placeholder from a FRESH builder (map_transformer.py:443) —
+    # a column-less block, even when the inputs carried a schema.  Slice
+    # the first input block instead: same emptiness, schema kept.
+    try:
+        import itertools
+
+        from ray.data._internal.block_batching.block_batching import batch_blocks
+        from ray.data._internal.execution.operators.map_transformer import (
+            BlocksToBatchesMapTransformFn,
+        )
+    except Exception:  # pragma: no cover
+        return
+
+    def blocks_to_batches_call(self, blocks, _):
+        block_iter = iter(blocks)
+        first = next(block_iter, None)
+        if first is None:
+            return []
+        blocks = itertools.chain([first], block_iter)
+        empty_block = BlockAccessor.for_block(first).slice(0, 0, copy=True)
+        first = None
+        formatted_batch_iter = batch_blocks(
+            blocks=blocks,
+            stats=None,
+            batch_size=self._batch_size,
+            batch_format=self._batch_format,
+            ensure_copy=self._ensure_copy,
+        )
+        first = next(formatted_batch_iter, None)
+        if first is None:
+            # convert to the stage's batch format (as non-empty batches
+            # are) so a downstream UDF sees the type it was written for
+            if self._batch_format not in (None, "default"):
+                empty_block = BlockAccessor.for_block(empty_block).to_batch_format(
+                    self._batch_format
+                )
+            return [empty_block]
+        return itertools.chain([first], formatted_batch_iter)
+
+    BlocksToBatchesMapTransformFn.__call__ = blocks_to_batches_call
+
+    # ---------------- map_batches empty passthrough ----------------
+    # plan_udf_map_op's generated transform skips the UDF for empty input
+    # batches and forwards them as-is (its own workaround for the
+    # schema-less empties fixed above).  The forwarded batch carries the
+    # INPUT schema, so a stage's empty outputs diverge from its real
+    # output schema.  Now that empties are always TYPED, route them
+    # through the UDF (engine UDFs are empty-safe and return typed empty
+    # results in their OUTPUT schema); if a UDF cannot handle an empty
+    # batch, fall back to Ray's original passthrough.
+    try:
+        import collections.abc
+        from types import GeneratorType
+
+        import ray.data._internal.planner.plan_udf_map_op as _pum
+    except Exception:  # pragma: no cover
+        return
+
+    _orig_gen_mb = _pum._generate_transform_fn_for_map_batches
+
+    def gen_map_batches(fn):
+        orig_transform = _orig_gen_mb(fn)
+        if _pum._is_async_udf(fn):
+            return orig_transform
+
+        def transform_fn(batches, task_ctx):
+            for batch in batches:
+                if (
+                    not isinstance(batch, collections.abc.Mapping)
+                    and BlockAccessor.for_block(batch).num_rows() == 0
+                ):
+                    try:
+                        res = fn(batch)
+                        res = list(res) if isinstance(res, GeneratorType) else [res]
+                        for out in res:
+                            _pum._validate_batch_output(out)
+                    except Exception:
+                        res = [batch]  # Ray's original empty passthrough
+                    yield from res
+                else:
+                    # the original transform's per-batch body (incl. its
+                    # error handling) — fed one batch at a time, which is
+                    # equivalent because its loop is stateless per batch
+                    yield from orig_transform([batch], task_ctx)
+
+        return transform_fn
+
+    _pum._generate_transform_fn_for_map_batches = gen_map_batches
+
+    # ---------------- Project empty passthrough ----------------
+    # plan_project_op's block fn returns empty blocks UNPROJECTED
+    # (plan_udf_map_op.py:115) — so a projected stage's empty outputs keep
+    # the full upstream schema and diverge from its real output schema.
+    # Re-plan Project with a fn that projects typed empties like any
+    # other block (passthrough only for schema-less ones / on error); the
+    # planner dispatch table is a class-level dict, swapped on the driver
+    # so the fixed closure ships to workers inside the task.
+    try:
+        from ray.data._internal.logical.operators.map_operator import Project
+        from ray.data._internal.planner.planner import Planner
+    except Exception:  # pragma: no cover
+        return
+
+    def plan_project_patched(op, physical_children, data_context):
+        map_op = _orig_plan_project(op, physical_children, data_context)
+        columns, columns_rename, exprs = op.cols, op.cols_rename, op.exprs
+
+        def project_block(block):
+            if exprs:
+                cols = {c: block[c] for c in BlockAccessor.for_block(block).column_names()}
+                for name, expr in exprs.items():
+                    cols[name] = _pum.eval_expr(expr, block)
+                block = BlockAccessor.batch_to_block(cols)
+            if columns:
+                block = BlockAccessor.for_block(block).select(columns)
+            if columns_rename:
+                block = block.rename_columns(
+                    [columns_rename.get(c, c) for c in block.schema.names]
+                )
+            return block
+
+        transformer = map_op.get_map_transformer()
+        for tf in transformer._transform_fns:
+            if type(tf).__name__ != "BlockMapTransformFn":
+                continue
+            inner_fn = tf._block_fn
+
+            def wrapped(blocks, task_ctx, _inner=inner_fn):
+                for block in blocks:
+                    acc = BlockAccessor.for_block(block)
+                    if acc.num_rows() == 0 and acc.column_names():
+                        try:
+                            yield project_block(block)
+                        except Exception:
+                            yield block
+                    else:
+                        yield from _inner([block], task_ctx)
+
+            tf._block_fn = wrapped
+        return map_op
+
+    _orig_plan_project = Planner._DEFAULT_PLAN_FNS[Project]
+    Planner._DEFAULT_PLAN_FNS[Project] = plan_project_patched
+
+    # ---------------- split-repartition padding ----------------
+    # repartition(n) with fewer rows than output blocks pads the result
+    # with ``PandasBlockBuilder().build()`` / ``ArrowBlockBuilder().build()``
+    # — column-less empty blocks fabricated on the DRIVER
+    # (split_repartition_task_scheduler.py "Handle empty blocks").  These
+    # are the ROOT schema-less blocks that then cascade through every
+    # downstream exchange.  Re-type them from any non-empty sibling
+    # bundle's schema after the original scheduler runs.
+    try:
+        import pandas as pd
+        import pyarrow as pa
+        from ray.data._internal.execution.interfaces import RefBundle
+        from ray.data._internal.pandas_block import PandasBlockSchema
+        from ray.data._internal.planner.exchange.split_repartition_task_scheduler import (
+            SplitRepartitionTaskScheduler,
+        )
+        from ray.data.block import _is_empty_schema
+    except Exception:  # pragma: no cover
+        return
+
+    def _typed_empty_block(schema):
+        if isinstance(schema, pa.Schema):
+            return schema.empty_table()
+        if isinstance(schema, PandasBlockSchema):
+            return pd.DataFrame(
+                {n: pd.Series([], dtype=t) for n, t in zip(schema.names, schema.types)}
+            )
+        return None
+
+    _orig_split_exec = SplitRepartitionTaskScheduler.execute
+
+    def split_execute(self, refs, output_num_blocks, ctx, *args, **kwargs):
+        bundles, stats = _orig_split_exec(self, refs, output_num_blocks, ctx, *args, **kwargs)
+        schema = next(
+            (b.schema for b in bundles if not _is_empty_schema(b.schema)), None
+        )
+        if schema is None:
+            return bundles, stats
+        typed_ref = None
+        typed_meta = None
+        out = []
+        for b in bundles:
+            if not (_is_empty_schema(b.schema) and (b.num_rows() or 0) == 0):
+                out.append(b)
+                continue
+            if typed_ref is None:
+                blk = _typed_empty_block(schema)
+                if blk is None:
+                    return bundles, stats
+                mws = BlockMetadataWithSchema.from_block(blk)
+                typed_ref, typed_meta = ray.put(blk), mws
+            out.append(
+                RefBundle(
+                    blocks=((typed_ref, typed_meta.metadata),),
+                    schema=typed_meta.schema,
+                    owns_blocks=True,
+                    output_split_idx=b.output_split_idx,
+                )
+            )
+        return out, stats
+
+    SplitRepartitionTaskScheduler.execute = split_execute

@@ -42,6 +42,94 @@ def join_partitions(floor: int = 8, per_cpu: float = 1.0) -> int:
     return max(floor, int(n_cpus * per_cpu))
 
 
+_FILL = {"int64": 0, "float64": float("nan"), "object": ""}
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: str,
+    right_on: str,
+    left_cols: dict[str, str],
+    right_cols: dict[str, str],
+    n_buckets: int | None = None,
+    post: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+) -> rd.Dataset:
+    """Distributed inner hash join as ONE co-partitioned shuffle.
+
+    Round-5 replacement for ``ray.data.Dataset.join``: Ray 2.49's acero-based
+    hash join nondeterministically fails on chained joins when empty
+    schema-less blocks reach ``HashShuffleAggregator.finalize`` ("No match or
+    multiple matches for key field reference ...", CORRECTNESS_r04
+    q3_top_orders / minhash_dedup_groups).  This implementation uses the same
+    machinery as every other green exchange in the engine (the asof-join /
+    bucketed_groupby pattern): both sides are padded to one explicit common
+    schema map-side, tagged with ``_side`` and ``_bucket = knuth(key) % B``,
+    unioned, shuffled ONCE by bucket, and merged per bucket in pandas at C
+    speed.  Every key lives in exactly one bucket, so the join is exact; all
+    blocks are constructed with explicit dtypes, so no stage can emit a
+    schema-less empty block.
+
+    ``left_cols`` / ``right_cols``: ``{column: dtype}`` for every column of
+    each side (disjoint names; dtypes in {"int64", "float64", "object"}).
+    Join keys must be integral.  ``post``, if given, runs per bucket on the
+    merged rows — a join whose downstream groupby key equals (or functionally
+    depends on) the join key can fuse its aggregation into the same shuffle.
+    """
+    n_buckets = n_buckets or DEFAULT_BUCKETS
+    assert not (set(left_cols) & set(right_cols)), "join sides must have disjoint columns"
+    all_cols = {**left_cols, **right_cols}
+    out_cols = list(all_cols)
+
+    def _prep(side: int, key: str, own: dict[str, str]):
+        import numpy as np
+
+        def prep(batch: pd.DataFrame) -> pd.DataFrame:
+            n = len(batch)
+            data = {}
+            for c, dt in all_cols.items():
+                if c in own:
+                    data[c] = batch[c].to_numpy() if dt == "object" else batch[c].to_numpy(dt)
+                elif dt == "object":
+                    data[c] = np.full(n, "", dtype=object)
+                else:
+                    data[c] = np.full(n, _FILL[dt], dtype=dt)
+            k = batch[key].to_numpy(np.int64)
+            data["_side"] = np.full(n, side, dtype=np.int8)
+            data["_bucket"] = ((k * 2654435761) % 4294967296) % n_buckets
+            out = pd.DataFrame(data)
+            return out.astype({c: dt for c, dt in all_cols.items()}, copy=False)
+
+        prep.__name__ = f"hash_join_prep_{'left' if side == 0 else 'right'}"
+        return prep
+
+    tagged = left.map_batches(_prep(0, on, left_cols), batch_format="pandas").union(
+        right.map_batches(_prep(1, right_on, right_cols), batch_format="pandas")
+    )
+
+    lcols = list(left_cols)
+    rcols = list(right_cols)
+
+    def _empty() -> pd.DataFrame:
+        base = pd.DataFrame({c: pd.Series([], dtype=dt) for c, dt in all_cols.items()})
+        return post(base) if post is not None else base
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lm = g["_side"].to_numpy() == 0
+        lg = g.loc[lm, lcols]
+        rg = g.loc[~lm, rcols]
+        if not len(lg) or not len(rg):
+            return _empty()
+        m = lg.merge(rg, left_on=on, right_on=right_on, how="inner")[out_cols]
+        return post(m) if post is not None else m
+
+    return (
+        tagged.groupby("_bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )
+
+
 def bucketed_groupby(
     ds: rd.Dataset,
     key_cols: list[str] | str,

@@ -61,6 +61,18 @@ def pack_documents(
         )
 
     def pack_one_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            # typed empty: an empty shuffle partition must keep its schema
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype=np.int64),
+                    "pack_id": pd.Series([], dtype=np.int64),
+                    "n_docs": pd.Series([], dtype=np.int64),
+                    "total_len": pd.Series([], dtype=np.int64),
+                    "utilization": pd.Series([], dtype=np.float64),
+                    "doc_ids": pd.Series([], dtype=object),
+                }
+            )
         g = g.sort_values(id_col, kind="stable")
         bucket = int(g["_bucket"].iloc[0])
         ids = g[id_col].to_numpy(np.int64)

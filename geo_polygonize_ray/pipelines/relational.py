@@ -25,7 +25,6 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from geo_polygonize_ray.functions import join_partitions
 
 
 def _read(sf_dir: str, name: str, columns=None) -> rd.Dataset:
@@ -129,11 +128,18 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         batch = batch.filter(pc.less(batch["o_orderdate"], pa.scalar(cutoff)))
         return batch.select(["o_orderkey", "o_custkey"])
 
+    from geo_polygonize_ray.functions import hash_join
+
     orders_f = _read(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(sel_orders, batch_format="pyarrow", batch_size=65536)
-    orders_sel = orders_f.join(
-        cust_sel, join_type="inner", num_partitions=join_partitions(), on=("o_custkey",), right_on=("c_custkey",)
+    orders_sel = hash_join(
+        orders_f,
+        cust_sel,
+        on="o_custkey",
+        right_on="c_custkey",
+        left_cols={"o_orderkey": "int64", "o_custkey": "int64"},
+        right_cols={"c_custkey": "int64"},
     ).select_columns(["o_orderkey"])
 
     def revenue(batch: pa.Table) -> pa.Table:
@@ -147,15 +153,16 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     )
     partials = li.map_batches(revenue, batch_format="pyarrow", batch_size=65536)
-    joined = partials.join(
-        orders_sel, join_type="inner", num_partitions=join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",)
-    )
-    from geo_polygonize_ray.functions import bucketed_groupby
-
-    out = bucketed_groupby(
-        joined,
-        "l_orderkey",
-        lambda g: g.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum")),
+    # the join key IS the groupby key, so the per-order revenue aggregation
+    # fuses into the join's bucket shuffle (post=) — one exchange total
+    out = hash_join(
+        partials,
+        orders_sel,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        left_cols={"l_orderkey": "int64", "revenue": "float64"},
+        right_cols={"o_orderkey": "int64"},
+        post=lambda m: m.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum")),
     ).to_pandas()
     out["revenue"] = r4(out["revenue"])
     out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
@@ -207,17 +214,16 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     cust_nk = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
         sel_cust, batch_format="pyarrow", batch_size=65536
     )
-    orders_nk = (
-        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-        .join(
-            cust_nk,
-            join_type="inner",
-            num_partitions=join_partitions(),
-            on=("o_custkey",),
-            right_on=("c_custkey",),
-        )
-        .select_columns(["o_orderkey", "nkey"])
-    )
+    from geo_polygonize_ray.functions import hash_join
+
+    orders_nk = hash_join(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        cust_nk,
+        on="o_custkey",
+        right_on="c_custkey",
+        left_cols={"o_orderkey": "int64", "o_custkey": "int64"},
+        right_cols={"c_custkey": "int64", "nkey": "int64"},
+    ).select_columns(["o_orderkey", "nkey"])
 
     def li_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -227,14 +233,21 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
     partials = li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
-    joined = partials.join(
-        orders_nk, join_type="inner", num_partitions=join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",)
-    )
-
-    from ray.data.aggregate import Sum
-
+    # per-bucket partial sums by nation fuse into the join shuffle; the final
+    # combine is a tiny (n_buckets x 5 nations) driver-side groupby
     out = (
-        joined.groupby("nkey").aggregate(Sum("revenue", alias_name="revenue")).to_pandas()
+        hash_join(
+            partials,
+            orders_nk,
+            on="l_orderkey",
+            right_on="o_orderkey",
+            left_cols={"l_orderkey": "int64", "revenue": "float64"},
+            right_cols={"o_orderkey": "int64", "nkey": "int64"},
+            post=lambda m: m.groupby("nkey", as_index=False).agg(revenue=("revenue", "sum")),
+        )
+        .to_pandas()
+        .groupby("nkey", as_index=False)
+        .agg(revenue=("revenue", "sum"))
     )
     out["n_name"] = out["nkey"].astype(np.int64).map(nat_by_key)
     out = out[["n_name", "revenue"]]
@@ -425,23 +438,31 @@ def q_hash_join_order_revenue(sf_dir: str) -> pd.DataFrame:
         g = df.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
-
-    from geo_polygonize_ray.functions import bucketed_groupby
+    from geo_polygonize_ray.functions import bucketed_groupby, hash_join
 
     rev = bucketed_groupby(
         li.map_batches(partial, batch_format="pyarrow"),
         "l_orderkey",
         lambda g: g.groupby("l_orderkey", as_index=False).agg(revenue=("revenue", "sum")),
     )
-    joined = rev.join(
-        orders, join_type="inner", num_partitions=join_partitions(), on=("l_orderkey",), right_on=("o_orderkey",)
-    )
-
+    # engine-native shuffle join (one co-partitioned exchange); the
+    # per-status aggregation fuses into the join buckets, final combine is
+    # a (n_buckets x 3 statuses) driver-side groupby
     g = (
-        joined.groupby("o_orderstatus")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+        hash_join(
+            rev,
+            orders,
+            on="l_orderkey",
+            right_on="o_orderkey",
+            left_cols={"l_orderkey": "int64", "revenue": "float64"},
+            right_cols={"o_orderkey": "int64", "o_orderstatus": "object"},
+            post=lambda m: m.groupby("o_orderstatus", as_index=False).agg(
+                revenue=("revenue", "sum")
+            ),
+        )
         .to_pandas()
+        .groupby("o_orderstatus", as_index=False)
+        .agg(revenue=("revenue", "sum"))
     )
     g["revenue"] = r4(g["revenue"])
     return g.sort_values("o_orderstatus").reset_index(drop=True)
@@ -917,7 +938,10 @@ def _bucketed_layout(sf_dir: str, table: str, key: str, columns: list[str], n_bu
     from geo_polygonize_ray.functions.layout import SUCCESS_MARKER, write_bucketed_parquet
 
     src = f"{sf_dir}/{table}.parquet"
-    tag = f"{table}_{int(os.path.getmtime(src))}_{'_'.join(columns)}_{n_buckets}"
+    # the bucketing KEY is part of the identity: without it a caller
+    # requesting the same (table, columns, n_buckets) under a different key
+    # would silently reuse a layout bucketed by the wrong column (r4 advice)
+    tag = f"{table}_{int(os.path.getmtime(src))}_k{key}_{'_'.join(columns)}_{n_buckets}"
     path = f"/tmp/gpr_cache/layout_{tag}"
     if os.path.exists(os.path.join(path, SUCCESS_MARKER)):
         return path

@@ -118,3 +118,39 @@ def test_stage_on_polygonizer_output():
     assert len(ring_row["holes_xs"][0]) == 5
     # non-geometry columns untouched
     assert set(out.columns) >= {"area", "cx", "cy", "n_holes"}
+
+
+class TestClosedRingGuarantees:
+    def test_large_eps_keeps_valid_triangle(self):
+        # ADVICE r4: the degenerate first==last chord collapsed rings to
+        # 2-3 vertices / zero area at large eps; ring DP must keep >= 4
+        # stored vertices (3 distinct points) with positive area
+        xs = np.array([0.0, 1.0, 1.0, 0.0, 0.0])
+        ys = np.array([0.0, 0.0, 1.0, 1.0, 0.0])
+        off = np.array([0, 5], dtype=np.int64)
+        for eps in (0.9, 5.0, 1e6):
+            keep = simplify_mask(xs, ys, off, eps)
+            nx, _ = apply_mask_to_lists(xs, off, keep)
+            ny, _ = apply_mask_to_lists(ys, off, keep)
+            assert keep.sum() >= 4
+            area = 0.5 * abs(np.sum(nx[:-1] * ny[1:] - nx[1:] * ny[:-1]))
+            assert area > 0
+
+    def test_ring_extent_survives_any_eps(self):
+        # farthest-point anchor: the kept ring must still span the
+        # original bbox diagonal (the old point-chord seed lost it)
+        th = np.linspace(0, 2 * np.pi, 33)
+        xs = np.concatenate([np.cos(th[:-1]), [1.0]]) * 7.0
+        ys = np.concatenate([np.sin(th[:-1]), [0.0]]) * 7.0
+        off = np.array([0, 33], dtype=np.int64)
+        keep = simplify_mask(xs, ys, off, eps=100.0)
+        nx, _ = apply_mask_to_lists(xs, off, keep)
+        assert nx.max() - nx.min() >= 7.0  # start (7,0) and far (-7,0) kept
+
+    def test_mixed_open_and_closed_batch(self):
+        ring = _ring([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)])
+        line = _ring([(0, 0), (5, 0.01), (10, 0)])
+        xs, ys, off = _flat([ring, line])
+        keep = simplify_mask(xs, ys, off, eps=0.5)
+        assert keep[:5].sum() >= 4  # closed ring protected
+        assert keep[5] and keep[7] and not keep[6]  # open polyline simplifies

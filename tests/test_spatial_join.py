@@ -219,3 +219,70 @@ def test_zonal_stats_matches_pandas():
     assert np.array_equal(got["poly_id"], truth["poly_id"])
     assert np.array_equal(got["n_points"], truth["n_points"])
     assert np.allclose(got["sum_value"], truth["sum_value"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSkewAndEdgeCases:
+    def test_salted_hot_cell_matches_unsalted(self):
+        # ALL points in one cell (the skew a cell size cannot fix): the
+        # salted plan must return the identical pair set
+        n = 6
+        rng = np.random.default_rng(21)
+        px = rng.uniform(2.05, 2.95, 400)  # every point in cell (2..3)^2
+        py = rng.uniform(2.05, 2.95, 400)
+        polys = _grid_polygons(n).materialize()
+        base = (
+            spatial_join_points_in_polygons(_points(px, py), polys, cell_size=1.0)
+            .to_pandas()
+            .sort_values(["point_id", "poly_id"])
+            .reset_index(drop=True)
+        )
+        salted = (
+            spatial_join_points_in_polygons(
+                _points(px, py), polys, cell_size=1.0, salt=8
+            )
+            .to_pandas()
+            .sort_values(["point_id", "poly_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(base, salted)
+        assert len(salted) == 400
+
+    def test_salt_bounds_group_size(self):
+        # the salt hash must actually spread points across groups
+        from geo_polygonize_ray.pipelines.spatialjoin import _cell_key
+
+        pid = np.arange(10000, dtype=np.int64)
+        s = ((pid * np.int64(2654435761)) % np.int64(4294967296) % 8).astype(np.int32)
+        counts = np.bincount(s, minlength=8)
+        assert counts.max() < 10000 * 0.25  # no salt group holds the cell
+
+    def test_broadcast_empty_polygon_side(self):
+        # ADVICE r4: zero polygons crashed index construction (IndexError
+        # on first_ring) before the probe's len-guard could run
+        from geo_polygonize_ray.pipelines.spatialjoin import (
+            spatial_join_broadcast,
+            zonal_stats,
+        )
+
+        empty_polys = _grid_polygons(4).filter(lambda r: False).materialize()
+        pts = _points(np.array([1.0, 2.0]), np.array([1.0, 2.0]))
+        out = spatial_join_broadcast(pts, empty_polys)
+        # blocks stay TYPED (Ray's to_pandas drops columns of an all-empty
+        # dataset, but the block schema must survive for downstream stages)
+        assert out.schema().names == ["point_id", "poly_id"]
+        assert len(out.to_pandas()) == 0
+        pts_v = rd.from_pandas(
+            pd.DataFrame(
+                {"point_id": np.array([0, 1]), "x": [1.0, 2.0], "y": [1.0, 2.0],
+                 "value": [3.0, 4.0]}
+            )
+        )
+        zs = zonal_stats(pts_v, empty_polys, "value").to_pandas()
+        assert len(zs) == 0
+
+    def test_copartitioned_empty_polygon_side(self):
+        empty_polys = _grid_polygons(4).filter(lambda r: False).materialize()
+        pts = _points(np.array([1.0]), np.array([1.0]))
+        got = spatial_join_points_in_polygons(pts, empty_polys, cell_size=1.0).to_pandas()
+        assert len(got) == 0
