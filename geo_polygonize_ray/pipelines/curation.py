@@ -97,12 +97,62 @@ GROUP BY source ORDER BY source
 
 def q_pack_documents(sf_dir: str) -> pd.DataFrame:
     """Greedy next-fit packing of the corpus into {PACK_CAPACITY}-char
-    windows (hash-bucketed; deterministic).  Not SQL-expressible (the pack
-    assignment is a sequential recurrence): rows-only check here, exact
-    invariants (coverage, capacity, determinism) pinned in tests."""
+    windows (hash-bucketed; deterministic).  SQL-checked (round-5): the
+    next-fit recurrence is a gaps-and-islands walk DuckDB states with a
+    recursive CTE over per-bucket cumsums (Q_PACK_SQL); utilization =
+    total/2^12 is exact in float64, so no rounding is applied and values
+    hash bit-identically."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
     out = pack_documents(ds, "doc_id", "n_chars", PACK_CAPACITY).to_pandas()
     out = out.sort_values("pack_id").reset_index(drop=True)
     out["n_doc_ids"] = out["doc_ids"].map(len).astype(np.int64)
-    out["utilization"] = np.round(out["utilization"], 6)
     return out[["bucket", "pack_id", "n_docs", "total_len", "utilization", "n_doc_ids"]]
+
+
+# SQL twin of pack_documents (capacity 4096, 64 buckets, 1<<40 pack-id
+# prefix).  The sequential next-fit recurrence becomes: (1) per-bucket
+# id-ordered running sums, (2) for EVERY candidate start row the last row
+# whose cumsum fits in the start's window (a non-equi self-join — legal
+# because clipped <= capacity guarantees every window holds >= 1 row),
+# (3) a recursive CTE walking start -> end+1 exactly as the engine's
+# searchsorted loop does.
+Q_PACK_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         ((doc_id * 2654435761) % 4294967296) % 64 AS bucket,
+         LEAST(n_chars, {PACK_CAPACITY})::BIGINT AS clipped
+  FROM documents
+), o AS (
+  SELECT doc_id, bucket, clipped,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn,
+         SUM(clipped) OVER (PARTITION BY bucket ORDER BY doc_id) AS csum
+  FROM t
+), ends AS (
+  SELECT s.bucket, s.rn AS s_rn, MAX(e.rn) AS e_rn
+  FROM o s JOIN o e
+    ON e.bucket = s.bucket AND e.rn >= s.rn
+   AND e.csum <= s.csum - s.clipped + {PACK_CAPACITY}
+  GROUP BY s.bucket, s.rn
+), bmax AS (
+  SELECT bucket, MAX(rn) AS mx FROM o GROUP BY bucket
+), walk AS (
+  SELECT bucket, 1 AS s_rn, 0 AS pid FROM bmax
+  UNION ALL
+  SELECT w.bucket, en.e_rn + 1, w.pid + 1
+  FROM walk w
+  JOIN ends en ON en.bucket = w.bucket AND en.s_rn = w.s_rn
+  JOIN bmax b ON b.bucket = w.bucket
+  WHERE en.e_rn < b.mx
+)
+SELECT w.bucket,
+       w.bucket * 1099511627776 + w.pid AS pack_id,
+       en.e_rn - w.s_rn + 1 AS n_docs,
+       CAST(ce.csum - (cs.csum - cs.clipped) AS BIGINT) AS total_len,
+       CAST(ce.csum - (cs.csum - cs.clipped) AS BIGINT) / {PACK_CAPACITY}.0 AS utilization,
+       en.e_rn - w.s_rn + 1 AS n_doc_ids
+FROM walk w
+JOIN ends en ON en.bucket = w.bucket AND en.s_rn = w.s_rn
+JOIN o cs ON cs.bucket = w.bucket AND cs.rn = w.s_rn
+JOIN o ce ON ce.bucket = w.bucket AND ce.rn = en.e_rn
+ORDER BY pack_id
+"""

@@ -305,6 +305,30 @@ ORDER BY cx, cy
 """
 
 
+def build_random_golden_sql() -> str:
+    """Oracle for polygonize_random: the seeded random(100) fixture has no
+    closed form, so the expectation is the LOCKED canonical summary
+    committed at tests/goldens/polygonize_random_canonical.parquet (the
+    same recorded-once-then-locked discipline as tests/test_goldens.py,
+    FIXTURES.md §4) — the SQL side selects the pinned rows while the
+    engine re-earns them through noding/tracing/assembly each round.  A
+    golden-freshness test (tests/test_goldens.py) fails if the live query
+    ever drifts from the committed file, so the pin cannot go stale
+    silently."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "tests",
+        "goldens",
+        "polygonize_random_canonical.parquet",
+    )
+    return (
+        "SELECT tile_id, poly_id, area, cx, cy, n_holes "
+        f"FROM read_parquet('{path}') ORDER BY tile_id, poly_id"
+    )
+
+
 # closed-form twin of the skew workload (skewed_grid_lines: 25x25 coarse
 # 4.0-pitch cells minus the two hot rects, plus 2 x 128^2 fine 0.125-pitch
 # cells) — every constant is an exact binary fraction, so both engines

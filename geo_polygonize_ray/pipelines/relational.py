@@ -7,7 +7,9 @@ Patterns demonstrated (the generic data-processing capability surface):
   * vectorized pyarrow.compute filters/projections inside map_batches
   * partial (map-side) aggregation before the groupby shuffle
   * broadcast joins for small dimension tables (ray.put + per-batch lookup)
-  * hash-partitioned large-large joins (Dataset.join)
+  * hash-partitioned large-large joins (functions.agg.hash_join — the
+    engine's one-exchange bucket join; Ray's acero Dataset.join flaked
+    nondeterministically on chained joins, CORRECTNESS_r04)
   * sort / top-k on small aggregate results
 
 Float aggregates are rounded to 4 decimals in BOTH the Ray pipeline and the

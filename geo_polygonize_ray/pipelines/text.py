@@ -362,6 +362,10 @@ class MinHasher:
     Universal hashing h_i(x) = (a_i * x + b_i) mod p with 32-bit x and a, b
     and a prime p > 2^32, so every product fits uint64 and the whole
     (n_perm x n_shingles) hash matrix is one vectorized numpy expression.
+    The shingle base hash is a sha256 prefix — chosen over sha1 (round-5)
+    so the DuckDB oracle (build_minhash_lsh_sql) can reconstruct the
+    identical signatures with its built-in ``sha256``; the (a, b) seed
+    constants are inlined into the oracle's VALUES table.
     """
 
     P = np.uint64(4294967311)  # smallest prime > 2^32
@@ -378,7 +382,7 @@ class MinHasher:
         if not sh:
             return np.zeros(self.n_perm, dtype=np.uint64)
         base = np.array(
-            [int.from_bytes(hashlib.sha1(s.encode()).digest()[:4], "big") for s in sh],
+            [int.from_bytes(hashlib.sha256(s.encode()).digest()[:4], "big") for s in sh],
             dtype=np.uint64,
         )
         h = (self.a[:, None] * base[None, :] + self.b[:, None]) % self.P
@@ -508,7 +512,8 @@ def _minhash_signature_checkpoint(sf_dir: str, n_perm: int) -> str:
     import uuid
 
     src = os.path.join(sf_dir, "documents.parquet")
-    key = f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{n_perm}"
+    # v2: sha256 shingle base hash (round-5 oracle) — busts v1 caches
+    key = f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{n_perm}:v2"
     tag = hashlib.sha1(key.encode()).hexdigest()[:16]
     out_dir = f"/tmp/gpr_cache/minhash_sigs_{tag}"
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
@@ -625,9 +630,100 @@ def minhash_lsh_pairs(
     res = cand.map_batches(estimate, batch_format="pandas").to_pandas()
     if len(res):
         res = res.drop_duplicates(["doc_a", "doc_b"])
-        res["est_jaccard"] = r4(res["est_jaccard"])
+        # est_jaccard = matches/128 is EXACT in float64 (power-of-two
+        # denominator), so it ships unrounded — bit-identical to the
+        # oracle's SUM(...)/128.0 with no round-half tie hazards
         res = res.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return res
+
+
+def build_minhash_lsh_sql(
+    n_perm: int = 128,
+    bands: int = 32,
+    k_shingle: int = 5,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 200,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin of minhash_lsh_pairs — the full LSH math in SQL.
+
+    Reconstructs the identical signatures (sha256 4-byte shingle prefix,
+    the MinHasher's (a_i, b_i) universal-hash constants inlined as a
+    VALUES table, min over shingles mod 4294967311), the identical FNV
+    band keys (uint64 wrap via HUGEINT % 2^64, xor via UBIGINT), the
+    same max_bucket boilerplate cap, and the exact matches/n_perm
+    estimate.  Built programmatically because the seed constants come
+    from numpy's PCG64 stream; the returned string is pure SQL.
+    """
+    mh = MinHasher(n_perm=n_perm, k_shingle=k_shingle, seed=seed)
+    perm_rows = ",".join(
+        f"({i},{int(a)},{int(b)})" for i, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    rpb = n_perm // bands
+    # FNV fold over the band's rpb signature slots, numpy-uint64-identical
+    h_expr = "1469598103934665603::HUGEINT"
+    for i in range(rpb):
+        h_expr = (
+            f"((xor(({h_expr})::UBIGINT, c{i}::UBIGINT)::HUGEINT"
+            f" * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)"
+        )
+    slot_cols = ",".join(
+        f"MAX(CASE WHEN i % {rpb} = {i} THEN sig END) AS c{i}" for i in range(rpb)
+    )
+    return f"""
+WITH perms(i, a, b) AS (VALUES {perm_rows}),
+words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < {k_shingle} THEN array_to_string(w, ' ')
+              ELSE array_to_string(list_slice(w, p, p + {k_shingle - 1}), ' ')
+         END AS s
+  FROM words,
+       LATERAL (SELECT unnest(range(1, greatest(len(w) - {k_shingle - 1}, 1) + 1)) AS p) t
+  WHERE len(w) >= {k_shingle} OR p = 1
+),
+base AS (
+  SELECT doc_id, CAST(CONCAT('0x', substr(sha256(s), 1, 8)) AS UBIGINT) AS x FROM sh
+),
+sig AS (
+  SELECT doc_id, i, MIN((a::UBIGINT * x + b::UBIGINT) % 4294967311) AS sig
+  FROM base CROSS JOIN perms GROUP BY doc_id, i
+),
+chunks AS (
+  SELECT doc_id, i // {rpb} AS band, {slot_cols}
+  FROM sig GROUP BY doc_id, i // {rpb}
+),
+keys AS (
+  SELECT doc_id,
+         xor(({h_expr})::UBIGINT,
+             ((band::HUGEINT * 11400714819323198485::HUGEINT)
+              % 18446744073709551616::HUGEINT)::UBIGINT) AS band_key
+  FROM chunks
+),
+ok_keys AS (
+  SELECT band_key FROM keys GROUP BY band_key
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT k1.doc_id AS doc_a, k2.doc_id AS doc_b
+  FROM keys k1 JOIN keys k2 USING (band_key)
+  JOIN ok_keys USING (band_key)
+  WHERE k1.doc_id < k2.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) / {n_perm}.0 AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM est
+WHERE est_jaccard >= {jaccard_threshold}
+ORDER BY doc_a, doc_b
+"""
 
 
 def minhash_dedup_groups(

@@ -33,3 +33,26 @@ def test_grid_golden(n):
     polys = polygonize_lines(grid_lines(n), node_input=True)
     assert len(polys) == n * n
     assert all(abs(p.area - 1.0) < 1e-9 for p in polys)
+
+
+def test_random_canonical_golden_fresh():
+    """The committed parquet golden that build_random_golden_sql() serves
+    as the driver oracle must equal the LIVE query output — a stale pin
+    would turn the oracle into a false regression alarm (or worse, a
+    silently-circular pass after a semantics change)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from geo_polygonize_ray.pipelines.geometry import q_polygonize_random
+
+    live = q_polygonize_random("unused").reset_index(drop=True)
+    gold = pd.read_parquet(
+        os.path.join(os.path.dirname(__file__), "goldens", "polygonize_random_canonical.parquet")
+    )
+    assert list(live.columns) == list(gold.columns)
+    assert len(live) == len(gold)
+    for c in live.columns:
+        a, b = live[c].to_numpy(), gold[c].to_numpy()
+        assert np.array_equal(a, b), c
