@@ -133,9 +133,33 @@ def _q_mosaic_polygonize(sf_dir: str):
     return out.sort_values(["tile_id", "area", "cx", "cy"]).reset_index(drop=True)
 
 
+def _hll_sql() -> str:
+    from geo_polygonize_ray.functions.sketch import build_hll_sql
+
+    return build_hll_sql("lineitem", "l_orderkey")
+
+
+def _golden_sql(name: str, order_cols: str) -> str:
+    """Locked-golden oracle for the deterministic fixed-fixture pipelines
+    (mosaic/image/audio/video): the expectation is a committed parquet the
+    SQL selects from — a recorded-once-then-locked PIN (same discipline as
+    polygonize_random / FIXTURES.md §4), not an independent derivation.
+    tests/test_goldens.py's freshness check fails if any live query drifts
+    from its pin, so a stale golden cannot pass silently."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "goldens", f"driver_{name}.parquet"
+    )
+    return f"SELECT * FROM read_parquet('{path}') ORDER BY {order_cols}"
+
+
 def _q_approx_distinct(sf_dir: str):
-    """HyperLogLog approximate COUNT(DISTINCT) — mergeable-sketch family
-    (rows-only: approximate by design; accuracy pinned in tests)."""
+    """HyperLogLog approximate COUNT(DISTINCT) — mergeable-sketch family.
+    SQL-checked (round-5): the splitmix64 + register-max + estimator math
+    is reconstructed in DuckDB (build_hll_sql), bit-identical at any sf —
+    a rare thing for an 'approximate' operator, possible because the
+    estimate is a deterministic function of the input set."""
     import pandas as pd
     import ray.data as rd
 
@@ -219,6 +243,20 @@ def oracle_sql() -> dict[str, str]:
         "range_join_price_bands": temporal.Q_RANGE_JOIN_SQL,
         "priority_price_quantiles": temporal.Q_QUANTILES_SQL,
         "pack_documents": curation.Q_PACK_SQL,
+        "approx_distinct_orders": _hll_sql(),
+        # locked-golden pins for the deterministic media fixtures (see
+        # _golden_sql: pins, not derivations; freshness-tested)
+        "mosaic_polygonize": _golden_sql("mosaic_polygonize", "tile_id, area, cx, cy"),
+        "image_roundtrip": _golden_sql("image_roundtrip", "image_id"),
+        "image_resize": _golden_sql("image_resize", "image_id"),
+        "audio_features": _golden_sql("audio_features", "clip_id"),
+        "audio_features_wav": _golden_sql("audio_features_wav", "clip_id"),
+        "video_frame_stats": _golden_sql("video_frame_stats", "video_id, frame_idx"),
+        "simplify_polygons": _golden_sql("simplify_polygons", "cx, cy"),
+        # NOTE: unlike the fixture-based pins above, the ann_ivf pin is
+        # bound to the sf0.01 embeddings table (the driver's correctness
+        # scale) — the IVF index build is seeded and deterministic there
+        "ann_ivf": _golden_sql("ann_ivf", "vec_id"),
         "token_counts": text.Q_TOKEN_SQL,
         "doc_stats_by_lang": text.Q_DOC_STATS_SQL,
         "top_longest_docs": text.Q_TOP_LONGEST_SQL,
@@ -228,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokens": text.Q_BPE_SQL,
         "simhash": text.Q_SIMHASH_SQL,
         "minhash_lsh_pairs": text.build_minhash_lsh_sql(),
+        "minhash_dedup_groups": text.build_minhash_groups_sql(),
         "fingerprints": text.Q_FINGERPRINT_SQL,
         "ngram_jaccard_pairs": text.Q_NGRAM_JACCARD_SQL,
         "stratified_sample_docs": curation.Q_STRATIFIED_SQL,

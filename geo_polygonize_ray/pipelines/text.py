@@ -726,6 +726,36 @@ ORDER BY doc_a, doc_b
 """
 
 
+def build_minhash_groups_sql(**kwargs) -> str:
+    """DuckDB twin of minhash_dedup_groups: connected components over the
+    SQL-derived LSH pair graph (build_minhash_lsh_sql) via a recursive-CTE
+    transitive closure, labels = min doc_id of the component, docs in no
+    pair keep group_id = doc_id.  The engine earns the same answer through
+    distributed min-label propagation with pointer doubling; the closure
+    is exact for any graph the pair stage emits (components are near-dup
+    clusters — tiny — so the closure's quadratic-in-component size is
+    nil)."""
+    pairs_sql = build_minhash_lsh_sql(**kwargs)
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({pairs_sql}) p
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+), lbl AS (
+  SELECT src AS doc_id, LEAST(MIN(dst), src) AS group_id FROM reach GROUP BY src
+)
+SELECT d.doc_id, COALESCE(l.group_id, d.doc_id) AS group_id
+FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def minhash_dedup_groups(
     sf_dir: str, jaccard_threshold: float = 0.5, max_rounds: int = 20
 ) -> pd.DataFrame:

@@ -56,3 +56,46 @@ def test_random_canonical_golden_fresh():
     for c in live.columns:
         a, b = live[c].to_numpy(), gold[c].to_numpy()
         assert np.array_equal(a, b), c
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.usefixtures("ray_session")
+@_pytest.mark.parametrize(
+    "name",
+    [
+        "mosaic_polygonize",
+        "image_roundtrip",
+        "image_resize",
+        "audio_features",
+        "audio_features_wav",
+        "video_frame_stats",
+        "simplify_polygons",
+        "ann_ivf",
+    ],
+)
+def test_driver_golden_fresh(name):
+    """Each locked-golden driver oracle (__ray_entry__._golden_sql) must
+    equal the LIVE query output — same rationale as the random-fixture
+    freshness test above."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.01" if name == "ann_ivf" else "/root/testdata/sf0.001"
+    live = e.queries()[name](sf)
+    if not isinstance(live, pd.DataFrame):
+        live = live.to_pandas()
+    live = live.reset_index(drop=True)
+    gold = pd.read_parquet(
+        os.path.join(os.path.dirname(__file__), "goldens", f"driver_{name}.parquet")
+    )
+    assert list(live.columns) == list(gold.columns)
+    assert len(live) == len(gold)
+    for c in live.columns:
+        a, b = live[c].to_numpy(), gold[c].to_numpy()
+        assert np.array_equal(a, b), c
