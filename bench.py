@@ -22,6 +22,11 @@ import subprocess
 import sys
 import time
 
+# BEFORE any ray.init: installs the schema-preserving Ray shims and exports
+# the worker-preload env vars so every worker (including the cold ones that
+# run the first job's sort tasks) starts patched — see compat.py
+import geo_polygonize_ray  # noqa: F401
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "1024"))
