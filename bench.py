@@ -52,43 +52,57 @@ def host_probe_ms() -> float:
     return round(best * 1000, 2)
 
 
-def host_probe_mc_ms(n_procs: int = 8) -> float:
-    """Multi-core companion to ``host_probe_ms``: wall time for ``n_procs``
-    PROCESSES each running the same seeded gemm concurrently.  Sibling-VM
-    contention shows up as aggregate core UNAVAILABILITY that the
-    single-core probe cannot see (observed: single-core probe 1.6x slow
-    while 32-worker pipeline rows ran 3-8x slow); the ratio
-    ``mc / single`` >> 1 flags exactly those windows."""
+def host_probe_mc(n_procs: int = 8) -> tuple[float, list[float]]:
+    """Multi-core companion to ``host_probe_ms``: ``n_procs`` PROCESSES run
+    the same seeded gemm concurrently and each reports its OWN timed gemm
+    section (one warm-up gemm + interpreter/numpy startup excluded), so
+    the derived capacity is not polluted by import time under contention.
+    Sibling-VM contention shows up as aggregate core UNAVAILABILITY that
+    the single-core probe cannot see (observed: single-core probe 1.6x
+    slow while 32-worker pipeline rows ran 3-8x slow).  Returns (parent
+    wall ms, per-child timed-section seconds)."""
     child = (
-        "import numpy as np;"
-        "a=np.random.default_rng(0).random((1024,1024));"
-        "[a@a for _ in range(12)]"
+        "import numpy as np,time;"
+        "a=np.random.default_rng(0).random((1024,1024));a@a;"
+        "t0=time.perf_counter();"
+        "[a@a for _ in range(12)];"
+        "print(time.perf_counter()-t0)"
     )
     t0 = time.perf_counter()
     procs = [
-        subprocess.Popen([sys.executable, "-c", child], stdout=subprocess.DEVNULL)
+        subprocess.Popen([sys.executable, "-c", child], stdout=subprocess.PIPE, text=True)
         for _ in range(n_procs)
     ]
+    child_secs = []
     for p in procs:
-        p.wait()
-    return round((time.perf_counter() - t0) * 1000, 2)
+        out, _ = p.communicate()
+        try:
+            child_secs.append(float(out.strip().splitlines()[-1]))
+        except (ValueError, IndexError):
+            pass
+    return round((time.perf_counter() - t0) * 1000, 2), child_secs
 
 
 def host_probes() -> dict:
     """Single-core + multi-core probes, plus the derived effective parallel
-    capacity in 'cores of the current single-core speed':
-    ``n_procs * reps * single / mc``.  On an idle 32-vcpu box this reads
-    ~7-8 (8 children run truly concurrently); readings << n_procs mean the
+    capacity in 'cores of the current single-core speed': each child's
+    throughput ratio (12*sc / its own timed section) sums to the number of
+    effective concurrent cores.  On an idle 32-vcpu box 8 children run
+    truly concurrently and this reads ~7-8; readings << n_procs mean the
     hypervisor is granting only a fraction of the advertised cores — in
     the worst observed window the 8-process probe fully SERIALIZED
-    (capacity 0.5), which makes every multi-worker pipeline row 3-8x slow
-    while the single-core probe shows only 1.5x."""
+    (capacity ~1), making every multi-worker pipeline row 3-8x slow while
+    the single-core probe showed only 1.5x."""
     sc = host_probe_ms()
-    mc = host_probe_mc_ms()
+    mc, child_secs = host_probe_mc()
+    if child_secs:
+        cap = sum(12 * (sc / 1000.0) / t for t in child_secs if t > 0)
+    else:
+        cap = 8 * 12 * sc / mc  # fallback: parent wall (includes startup)
     return {
         "host_probe_ms": sc,
         "host_probe_mc_ms": mc,
-        "host_parallel_capacity": round(8 * 12 * sc / mc, 2),
+        "host_parallel_capacity": round(cap, 2),
     }
 
 
@@ -406,6 +420,11 @@ def run_scaling() -> None:
         best = None
         for _ in range(repeats):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
+            # per-leg capacity gate capped low: the scaling suite runs
+            # several legs, so a collapsed window must not stall for
+            # n_legs x 900 s — each leg waits briefly, then measures and
+            # stamps its own capacity fields for the reader
+            env.setdefault("GRAFT_CAPACITY_WAIT_S", "240")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,

@@ -344,11 +344,14 @@ def apply() -> None:
                 out.append(b)
                 continue
             if typed_ref is None:
-                blk = _typed_empty_block(schema)
-                if blk is None:
+                try:
+                    blk = _typed_empty_block(schema)
+                    if blk is None:
+                        return bundles, stats
+                    mws = BlockMetadataWithSchema.from_block(blk)
+                    typed_ref, typed_meta = ray.put(blk), mws
+                except Exception:  # unreconstructable schema: keep Ray's output
                     return bundles, stats
-                mws = BlockMetadataWithSchema.from_block(blk)
-                typed_ref, typed_meta = ray.put(blk), mws
             out.append(
                 RefBundle(
                     blocks=((typed_ref, typed_meta.metadata),),
