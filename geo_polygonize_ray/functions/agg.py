@@ -77,7 +77,11 @@ def hash_join(
     merged rows — a join whose downstream groupby key equals (or functionally
     depends on) the join key can fuse its aggregation into the same shuffle.
     """
-    n_buckets = n_buckets or DEFAULT_BUCKETS
+    # bucket count follows the CLUSTER (>= 2 per CPU) so the per-bucket
+    # merge parallelism scales with the machine instead of capping at a
+    # laptop-sized 64; empty buckets are typed no-ops post-compat, so
+    # over-provisioning on small inputs costs only empty groups
+    n_buckets = n_buckets or max(DEFAULT_BUCKETS, join_partitions(per_cpu=2.0))
     assert not (set(left_cols) & set(right_cols)), "join sides must have disjoint columns"
     all_cols = {**left_cols, **right_cols}
     out_cols = list(all_cols)
