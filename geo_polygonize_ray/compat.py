@@ -60,7 +60,6 @@ def apply() -> None:
     if _PATCHED:
         return
     _PATCHED = True
-    _export_worker_preload()
     try:
         import numpy as np
         import ray
@@ -71,6 +70,9 @@ def apply() -> None:
         return
     if not ray.__version__.startswith("2.49"):  # pragma: no cover
         return
+    # only mutate the environment once we KNOW the shims apply — a future
+    # Ray would otherwise inherit a no-op preload + PYTHONPATH pollution
+    _export_worker_preload()
 
     # ---------------- map_groups empty partitions ----------------
     # A shuffle partition with zero rows produces ZERO groups, so Ray's
@@ -336,25 +338,25 @@ def apply() -> None:
         )
         if schema is None:
             return bundles, stats
-        typed_ref = None
-        typed_meta = None
+        try:
+            blk = _typed_empty_block(schema)
+            if blk is None:
+                return bundles, stats
+            typed_meta = BlockMetadataWithSchema.from_block(blk)
+        except Exception:  # unreconstructable schema: keep Ray's output
+            return bundles, stats
         out = []
         for b in bundles:
             if not (_is_empty_schema(b.schema) and (b.num_rows() or 0) == 0):
                 out.append(b)
                 continue
-            if typed_ref is None:
-                try:
-                    blk = _typed_empty_block(schema)
-                    if blk is None:
-                        return bundles, stats
-                    mws = BlockMetadataWithSchema.from_block(blk)
-                    typed_ref, typed_meta = ray.put(blk), mws
-                except Exception:  # unreconstructable schema: keep Ray's output
-                    return bundles, stats
+            # a FRESH ray.put per padded bundle: these bundles claim
+            # owns_blocks=True (matching Ray's originals), so sharing one
+            # ObjectRef would let the first consumer's eager-free kill the
+            # block under the remaining bundles
             out.append(
                 RefBundle(
-                    blocks=((typed_ref, typed_meta.metadata),),
+                    blocks=((ray.put(blk), typed_meta.metadata),),
                     schema=typed_meta.schema,
                     owns_blocks=True,
                     output_split_idx=b.output_split_idx,

@@ -123,7 +123,7 @@ WITH u AS (
   SELECT (h >> {64 - p})::BIGINT AS idx,
          LEAST(GREATEST(63 - FLOOR(LOG2(CAST(
            ((h::HUGEINT * {1 << p}::HUGEINT) % {two64}::HUGEINT)::UBIGINT
-             | {(1 << p) - 1}::UBIGINT AS DOUBLE))), 0), {maxlz - 1})::BIGINT + 1 AS reg
+             | {(1 << p) - 1}::UBIGINT AS DOUBLE))), 0), {maxlz})::BIGINT + 1 AS reg
   FROM h
 ), regs AS (
   SELECT idx, MAX(reg) AS reg FROM rho GROUP BY idx

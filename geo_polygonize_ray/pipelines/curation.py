@@ -118,8 +118,10 @@ def q_pack_documents(sf_dir: str) -> pd.DataFrame:
 # searchsorted loop does.
 Q_PACK_SQL = f"""
 WITH RECURSIVE t AS (
+  -- HUGEINT product: BIGINT would abort on overflow for doc_id >= 2^63/C,
+  -- and (exact product) % 2^32 equals numpy's wrap-then-mod for all ids
   SELECT doc_id,
-         ((doc_id * 2654435761) % 4294967296) % 64 AS bucket,
+         CAST(((doc_id::HUGEINT * 2654435761::HUGEINT) % 4294967296::HUGEINT) % 64 AS BIGINT) AS bucket,
          LEAST(n_chars, {PACK_CAPACITY})::BIGINT AS clipped
   FROM documents
 ), o AS (

@@ -426,7 +426,8 @@ ORDER BY n_orders DESC, o_custkey
 
 
 # ---------------------------------------------------------------------------
-# large-large hash join via Dataset.join (the shuffle-join path)
+# large-large hash join via functions.agg.hash_join (the engine's
+# one-exchange bucket shuffle; Ray's acero Dataset.join is unused)
 # ---------------------------------------------------------------------------
 
 

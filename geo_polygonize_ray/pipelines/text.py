@@ -654,6 +654,14 @@ def build_minhash_lsh_sql(
     same max_bucket boilerplate cap, and the exact matches/n_perm
     estimate.  Built programmatically because the seed constants come
     from numpy's PCG64 stream; the returned string is pure SQL.
+
+    Tokenization caveat: the SQL side splits on RE2's ASCII ``\\S+``
+    while the engine uses Python ``str.split()`` (Unicode whitespace) —
+    equivalent on ASCII-whitespace corpora like the driver fixtures, but
+    a document containing e.g. U+00A0 would shingle differently; a
+    zero-word document likewise gets no shingles in the engine but one
+    empty shingle in SQL.  Both divergences are outside the fixture
+    domain (single-space ASCII text, min length 44 chars at every SF).
     """
     mh = MinHasher(n_perm=n_perm, k_shingle=k_shingle, seed=seed)
     perm_rows = ",".join(
