@@ -111,3 +111,14 @@ class TestOracleParity:
         df = res.to_pandas()
         assert len(df) >= 32
         assert df["phash_ok"].all() and df["roundtrip_ok"].all()
+
+
+def test_no_oracle_set_is_exactly_the_documented_two():
+    """Every queries() entry must ship an oracle_sql() twin except the
+    one documented exception: embedding_near_dup, whose raw 0-row noise
+    signal is complemented by the SQL-checked planted variant.  A new
+    query landing without an oracle fails here by default."""
+    import __ray_entry__ as e
+
+    missing = set(e.queries()) - set(e.oracle_sql())
+    assert missing == {"embedding_near_dup"}, sorted(missing)
